@@ -1,0 +1,11 @@
+import os
+
+# Force a deterministic 8-device virtual CPU mesh for all tests so multi-chip
+# sharding logic is exercised without TPU hardware (the driver separately
+# dry-runs the multi-chip path; bench.py runs on the real chip).
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+  os.environ['XLA_FLAGS'] = (
+      flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_TRACEBACK_FILTERING', 'off')
