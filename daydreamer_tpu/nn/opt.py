@@ -1,0 +1,114 @@
+"""Optimizer: global-norm clip -> Adam -> decoupled weight decay by regex.
+
+Functional re-design of the reference's hand-written Adam
+(reference: embodied/agents/dreamerv2plus/tfutils.py:143-302): moments and
+step counter live in the flat state dict under the optimizer's path, so they
+checkpoint together with the params. Differences justified by TPU:
+
+- No fp16 dynamic loss scaling: TPU trains in bf16 whose exponent range
+  matches f32 (reference needed scaling for fp16 GPUs, tfutils.py:225-240).
+- No explicit cross-replica all_reduce (tfutils.py:221-223): the train step
+  is one pjit program over the device mesh, so averaging the loss over the
+  globally-sharded batch makes XLA insert the gradient psum over ICI
+  automatically.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+
+from . import module as nj
+from .module import Module
+
+f32 = jnp.float32
+
+
+class Optimizer(Module):
+
+  def __init__(self, name, lr, opt='adam', eps=1e-5, clip=0.0, warmup=0,
+               wd=0.0, wd_pattern='kernel', beta1=0.9, beta2=0.999):
+    super().__init__(name)
+    assert opt == 'adam', opt
+    assert 0 <= wd < 1, wd
+    assert not clip or 1 <= clip, clip
+    self._lr = lr
+    self._eps = eps
+    self._clip = clip
+    self._warmup = warmup
+    self._wd = wd
+    self._wd_pattern = re.compile(wd_pattern)
+    self._beta1 = beta1
+    self._beta2 = beta2
+
+  def __call__(self, lossfn, modules, *args):
+    """Compute grads of lossfn w.r.t. the trainable keys under `modules`
+    and apply the update. Returns (metrics, aux) where aux is whatever
+    lossfn returned beyond the scalar loss."""
+    modules = modules if isinstance(modules, (list, tuple)) else [modules]
+    ctx = nj.context()
+    if ctx.create:
+      # Creation pass: run the loss once to allocate params, then allocate
+      # optimizer slots; no gradient computation needed.
+      out = lossfn(*args)
+      loss, aux = (out[0], out[1:]) if isinstance(out, tuple) else (out, ())
+      keys = sorted({k for m in modules for k in m.keys(trainable=True)})
+      assert keys, [m.path for m in modules]
+      step = self.value('step', jnp.zeros((), jnp.int32), trainable=False)
+      for key in keys:
+        slot = key.replace('/', '.')
+        self.value(f'm/{slot}', jnp.zeros_like(ctx.state[key]),
+                   trainable=False)
+        self.value(f'v/{slot}', jnp.zeros_like(ctx.state[key]),
+                   trainable=False)
+      name = self.path.rsplit('/', 1)[-1]
+      metrics = {
+          f'{name}_loss': loss,
+          f'{name}_grad_norm': jnp.zeros((), f32),
+          f'{name}_grad_steps': f32(step),
+      }
+      return metrics, aux
+    keys = sorted({k for m in modules for k in m.keys(trainable=True)})
+    assert keys, [m.path for m in modules]
+    loss, params, grads, aux = nj.value_and_grad(lossfn, keys, *args)
+    step = self.value('step', jnp.zeros((), jnp.int32), trainable=False)
+    step = step + 1
+    self.write('step', step)
+    t = f32(step)
+    lr = self._lr
+    if self._warmup:
+      lr = lr * jnp.clip(t / self._warmup, 0.0, 1.0)
+
+    # Global-norm clipping.
+    norm = jnp.sqrt(sum(
+        jnp.sum(jnp.square(f32(g))) for g in grads.values()))
+    if self._clip:
+      scale = jnp.minimum(1.0, self._clip / jnp.maximum(norm, 1e-8))
+    else:
+      scale = jnp.ones((), f32)
+
+    for key in keys:
+      grad = f32(grads[key]) * scale
+      slot = key.replace('/', '.')
+      m = self.value(f'm/{slot}', jnp.zeros_like(params[key]),
+                     trainable=False)
+      v = self.value(f'v/{slot}', jnp.zeros_like(params[key]),
+                     trainable=False)
+      m = self._beta1 * m + (1 - self._beta1) * grad
+      v = self._beta2 * v + (1 - self._beta2) * grad * grad
+      self.write(f'm/{slot}', m)
+      self.write(f'v/{slot}', v)
+      mhat = m / (1 - self._beta1 ** t)
+      vhat = v / (1 - self._beta2 ** t)
+      param = ctx.state[key]
+      if self._wd and self._wd_pattern.search(key):
+        param = (1 - self._wd * lr) * param
+      ctx.state[key] = param - lr * mhat / (jnp.sqrt(vhat) + self._eps)
+
+    name = self.path.rsplit('/', 1)[-1]
+    metrics = {
+        f'{name}_loss': loss,
+        f'{name}_grad_norm': norm,
+        f'{name}_grad_steps': f32(step),
+    }
+    return metrics, aux

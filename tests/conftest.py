@@ -3,9 +3,15 @@ import os
 # Force a deterministic 8-device virtual CPU mesh for all tests so multi-chip
 # sharding logic is exercised without TPU hardware (the driver separately
 # dry-runs the multi-chip path; bench.py runs on the real chip).
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+#
+# Note: the env var JAX_PLATFORMS is not honored by the axon TPU plugin in
+# this image, so we must use jax.config before the backend initializes.
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
   os.environ['XLA_FLAGS'] = (
       flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_TRACEBACK_FILTERING', 'off')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
