@@ -1,0 +1,75 @@
+"""Benchmark: steady-state gradient updates/s of agent.train on one chip.
+
+Compares against the reference's asserted steady-state train latency of
+0.02 s/step (50 updates/s) on one GPU with XLA jit under TEST_CONFIG
+(batch 8, chunk 8, layers 2, units 128, cnn_depth 16; reference:
+embodied/agents/dreamerv2plus/tests.py:26-71).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_UPDATES_PER_S = 1.0 / 0.02  # reference tests.py:70-71
+
+
+def main():
+  import daydreamer_tpu as ddt
+  from daydreamer_tpu.agents.dreamer import Agent
+  from daydreamer_tpu.envs import load_env
+
+  config = ddt.Config(Agent.configs['defaults'])
+  config = config.update({
+      'env.parallel': 'none',
+      'replay_chunk': 8,
+      'batch_size': 8,
+      r'.*\.layers': 2,
+      r'.*\.units': 128,
+      r'.*\.cnn_depth': 16,
+      r'.*\.wd$': 0.0,
+  })
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  step = ddt.Counter()
+  agent = Agent(env.obs_space, env.act_space, step, config)
+
+  B, T = config.batch_size, config.replay_chunk
+  data = {}
+  for key, space in env.obs_space.items():
+    data[key] = np.zeros((B, T) + space.shape, space.dtype)
+  data['action'] = np.zeros(
+      (B, T) + env.act_space['action'].shape, np.float32)
+  data['is_first'][:, 0] = True
+  data['reward'] = np.random.uniform(0, 1, (B, T)).astype(np.float32)
+  data['image'] = np.random.randint(0, 255, (B, T, 64, 64, 3), np.uint8)
+  env.close()
+
+  # Warmup: creation + compile.
+  start = time.time()
+  outs, state, mets = agent.train(data)
+  compile_time = time.time() - start
+  for _ in range(3):
+    outs, state, mets = agent.train(data, state)
+
+  steps = 30
+  start = time.time()
+  for _ in range(steps):
+    outs, state, mets = agent.train(data, state)
+  # mets fetch inside train() already blocks on completion.
+  duration = time.time() - start
+  updates_per_s = steps / duration
+
+  print(json.dumps({
+      'metric': 'train_gradient_updates_per_s',
+      'value': round(updates_per_s, 3),
+      'unit': 'updates/s (batch8,chunk8 TEST_CONFIG, 1 chip)',
+      'vs_baseline': round(updates_per_s / BASELINE_UPDATES_PER_S, 3),
+  }))
+  import sys
+  print(f'compile_time_s={compile_time:.1f}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+  main()

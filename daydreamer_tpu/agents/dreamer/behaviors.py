@@ -1,0 +1,157 @@
+"""Task and exploration behaviors (reference:
+embodied/agents/dreamerv2plus/behaviors.py:9-253)."""
+
+import jax
+import jax.numpy as jnp
+
+from ... import nn
+from ...models import nets
+from . import agent as agentlib
+from . import expl
+
+f32 = jnp.float32
+
+
+class Greedy(nn.Module):
+  """Actor-critic on the extrinsic reward (reference: behaviors.py:9-46)."""
+
+  def __init__(self, name, wm, act_space, config):
+    super().__init__(name)
+    self.wm = wm
+    self.config = config
+    rewfn = lambda s: wm.heads['reward'](s).mean()[1:]
+    if config.critic_type == 'vfunction':
+      critics = {'extr': self.sub('critic', agentlib.VFunction, rewfn,
+                                  config)}
+    elif config.critic_type == 'qfunction':
+      critics = {'extr': self.sub('critic', agentlib.QFunction, rewfn,
+                                  config)}
+    elif config.critic_type == 'qtwin':
+      critics = {'extr': self.sub('critic', agentlib.TwinQFunction, rewfn,
+                                  config)}
+    else:
+      raise NotImplementedError(config.critic_type)
+    self.ac = self.sub(
+        'ac', agentlib.ImagActorCritic, critics, {'extr': 1.0}, act_space,
+        config)
+
+  def initial(self, batch_size):
+    return self.ac.initial(batch_size)
+
+  def policy(self, latent, state):
+    return self.ac.policy(latent, state)
+
+  def train(self, imagine, start, data):
+    return self.ac.train(imagine, start, data)
+
+  def report(self, data):
+    metrics = {}
+    context, _ = self.wm.rssm.observe(
+        self.wm.encoder(data)[:6, :5], data['action'][:6, :5],
+        data['is_first'][:6, :5])
+    start = {k: v[:, -1] for k, v in context.items()}
+    start['is_terminal'] = data['is_terminal'][:6, 4]
+    traj, _ = self.wm.imagine(
+        self.policy, start, self.initial(6), self.config.imag_horizon)
+    dists = self.wm.heads['decoder'](traj)
+    for key in self.wm.heads['decoder'].cnn_shapes.keys():
+      video = dists[key].mode().transpose((1, 0, 2, 3, 4))
+      metrics[f'imag_{key}'] = nn.video_grid(video)
+    return metrics
+
+
+class Random(nn.Module):
+  """Uniform policy (reference: behaviors.py:97-120)."""
+
+  def __init__(self, name, wm, act_space, config):
+    super().__init__(name)
+    self.config = config
+    self.act_space = act_space
+
+  def initial(self, batch_size):
+    return jnp.zeros(batch_size)
+
+  def policy(self, latent, state):
+    batch_size = len(state)
+    shape = (batch_size,) + self.act_space.shape
+    if self.act_space.discrete:
+      dist = nn.OneHotDist(jnp.zeros(shape))
+    else:
+      dist = _Uniform(shape)
+    return {'action': dist}, state
+
+  def train(self, imagine, start, data):
+    return None, {}
+
+  def report(self, data):
+    return {}
+
+
+class _Uniform:
+
+  def __init__(self, shape):
+    self._shape = shape
+
+  def sample(self, key):
+    return jax.random.uniform(key, self._shape, f32, -1.0, 1.0)
+
+  def mode(self):
+    return jnp.zeros(self._shape, f32)
+
+  def entropy(self):
+    import numpy as np
+    return jnp.full(self._shape[:-1], self._shape[-1] * np.log(2.0))
+
+
+class Explore(nn.Module):
+  """Multi-reward exploration actor-critic (reference: behaviors.py:123-167):
+  extrinsic plus disagreement/VAE/control/PBE intrinsic critics."""
+
+  REWARDS = {
+      'disag': expl.Disag,
+      'vae': expl.LatentVAE,
+      'ctrl': expl.CtrlDisag,
+      'pbe': expl.PBE,
+  }
+
+  def __init__(self, name, wm, act_space, config):
+    super().__init__(name)
+    self.config = config
+    self.rewards = {}
+    critics = {}
+    for key, scale in config.expl_rewards.items():
+      if not scale:
+        continue
+      if key == 'extr':
+        reward = lambda traj: wm.heads['reward'](traj).mean()[1:]
+        critics[key] = self.sub(
+            f'critic_{key}', agentlib.VFunction, reward, config)
+      else:
+        reward = self.sub(
+            f'reward_{key}', self.REWARDS[key], wm, act_space, config)
+        critics[key] = self.sub(
+            f'critic_{key}', agentlib.VFunction, reward, config.update(
+                discount=config.expl_discount,
+                retnorm=dict(config.expl_retnorm),
+                scorenorm=dict(config.expl_scorenorm)))
+        self.rewards[key] = reward
+    scales = {k: v for k, v in config.expl_rewards.items() if v}
+    self.ac = self.sub(
+        'ac', agentlib.ImagActorCritic, critics, scales, act_space, config)
+
+  def initial(self, batch_size):
+    return self.ac.initial(batch_size)
+
+  def policy(self, latent, state):
+    return self.ac.policy(latent, state)
+
+  def train(self, imagine, start, data):
+    metrics = {}
+    for key, reward in self.rewards.items():
+      metrics.update(reward.train(data))
+    traj, mets = self.ac.train(imagine, start, data)
+    metrics.update(mets)
+    return traj, metrics
+
+  def report(self, data):
+    return {}

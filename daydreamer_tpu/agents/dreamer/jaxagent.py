@@ -1,0 +1,213 @@
+"""JAX backend wrapper: device placement, jit, sharding, checkpointing.
+
+TPU-native counterpart of the reference's TFAgent (reference:
+embodied/agents/dreamerv2plus/tfagent.py:14-178). Key differences:
+
+- One pjit program per entry point over a device mesh instead of
+  tf.distribute strategies; batches are sharded on the `data` axis, the
+  agent state (params + optimizer + controllers) is replicated, and XLA
+  inserts the gradient collectives.
+- Variable creation is an explicit eager pass on dummy zero batches built
+  from the spaces at construction time, so the jitted functions never
+  branch on creation.
+- The agent state is a flat {name: array} dict; save/load use name-sorted
+  zipping for parity with the reference checkpoint wire format
+  (reference: tfutils.py:116-131).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ... import nn
+from ...parallel import mesh as meshlib
+
+
+def Wrapper(agent_cls):
+  class Agent(JAXAgent):
+    configs = agent_cls.configs
+    inner = agent_cls
+
+    def __init__(self, obs_space, act_space, step, config):
+      super().__init__(agent_cls, obs_space, act_space, step, config)
+  return Agent
+
+
+class JAXAgent:
+
+  def __init__(self, agent_cls, obs_space, act_space, step, config):
+    self.config = config
+    self.obs_space = obs_space
+    self.act_space = act_space
+    self._setup(config.jax)
+    self.agent = agent_cls('agent', obs_space, act_space, step, config)
+    self._jit = config.jax.jit
+    self._seed = np.random.SeedSequence(config.seed)
+    self._counter = 0
+
+    self._pure_policy = nn.pure(self.agent.policy)
+    self._pure_train = nn.pure(self.agent.train)
+    self._pure_report = nn.pure(self.agent.report)
+    self._pure_policy_initial = nn.pure(self.agent.policy_initial)
+    self._pure_train_initial = nn.pure(self.agent.train_initial)
+
+    self.varibs = {}
+    self._created = False
+
+    if self._jit:
+      self._jit_policy = jax.jit(
+          functools.partial(self._pure_policy),
+          static_argnames=('mode',))
+      self._jit_train = jax.jit(self._pure_train, donate_argnums=(0,))
+      self._jit_report = jax.jit(self._pure_report)
+      self._jit_policy_initial = jax.jit(
+          self._pure_policy_initial, static_argnums=(2,))
+      self._jit_train_initial = jax.jit(
+          self._pure_train_initial, static_argnums=(2,))
+    else:
+      self._jit_policy = self._pure_policy
+      self._jit_train = self._pure_train
+      self._jit_report = self._pure_report
+      self._jit_policy_initial = self._pure_policy_initial
+      self._jit_train_initial = self._pure_train_initial
+
+  def _setup(self, jaxcfg):
+    if jaxcfg.platform == 'cpu':
+      jax.config.update('jax_platforms', 'cpu')
+    if jaxcfg.precision == 'bfloat16':
+      nn.set_compute_dtype(jnp.bfloat16)
+    elif jaxcfg.precision == 'float32':
+      nn.set_compute_dtype(jnp.float32)
+    else:
+      raise NotImplementedError(jaxcfg.precision)
+    if jaxcfg.debug_nans:
+      jax.config.update('jax_debug_nans', True)
+    self.mesh = meshlib.make_mesh({'data': -1})
+    self._data_sharding = meshlib.batch_sharded(self.mesh)
+    self._repl_sharding = meshlib.replicated(self.mesh)
+
+  # -- creation --------------------------------------------------------------
+
+  def _create(self):
+    """Eager creation pass on dummy zero batches derived from the spaces."""
+    if self._created:
+      return
+    # Param shapes do not depend on batch dims, so create on a tiny batch;
+    # T >= 8 keeps the report open-loop slicing valid.
+    B, T = 2, 8
+    data = self._dummy_batch(B, T)
+    obs = {k: v[:, 0] for k, v in data.items()
+           if k not in ('action', 'reset')}
+    varibs = self.varibs
+    carry0, varibs = self._pure_train_initial(varibs, 0, B, create=True)
+    _, varibs = self._pure_train(varibs, 0, data, carry0, create=True)
+    state0, varibs = self._pure_policy_initial(varibs, 0, B, create=True)
+    _, varibs = self._pure_policy(
+        varibs, 0, obs, state0, mode='train', create=True)
+    _, varibs = self._pure_report(varibs, 0, data, create=True)
+    self.varibs = meshlib.replicate(varibs, self.mesh)
+    self._created = True
+    params = sum(
+        int(np.prod(v.shape)) for k, v in varibs.items()
+        if nn.META.get(k, {}).get('trainable'))
+    total = sum(int(np.prod(v.shape)) for v in varibs.values())
+    print(f'Created agent state: {params:,} trainable parameters, '
+          f'{total:,} total values.')
+
+  def _dummy_batch(self, B, T):
+    data = {}
+    for key, space in self.obs_space.items():
+      if key.startswith('log_'):
+        continue
+      data[key] = np.zeros((B, T) + space.shape, space.dtype)
+    for key, space in self.act_space.items():
+      if key == 'reset':
+        continue
+      data[key] = np.zeros((B, T) + space.shape, space.dtype)
+    data['is_first'][:, 0] = True
+    return data
+
+  def _next_seed(self):
+    self._counter += 1
+    return np.uint32(
+        np.random.SeedSequence(
+            (self.config.seed, self._counter)).generate_state(1)[0])
+
+  # -- entry points ----------------------------------------------------------
+
+  def policy(self, obs, state=None, mode='train'):
+    self._create()
+    obs = {k: np.asarray(v) for k, v in obs.items()}
+    batch = len(obs['is_first'])
+    if state is None:
+      state, _ = self._jit_policy_initial(
+          self.varibs, self._next_seed(), batch)
+    (outs, state), _ = self._jit_policy(
+        self.varibs, self._next_seed(), obs, state, mode=mode)
+    outs = jax.device_get(outs)
+    return outs, state
+
+  def train(self, data, state=None):
+    self._create()
+    data = self._filter_data(data)
+    data = meshlib.shard_batch(data, self.mesh)
+    if state is None:
+      batch = len(next(iter(data.values())))
+      state, _ = self._jit_train_initial(
+          self.varibs, self._next_seed(), batch)
+    ((outs, state, mets), varibs) = self._jit_train(
+        self.varibs, self._next_seed(), data, state)
+    self.varibs = varibs
+    outs = jax.device_get(outs)
+    mets = jax.device_get(mets)
+    return outs, state, mets
+
+  def report(self, data):
+    self._create()
+    data = self._filter_data(data)
+    data = meshlib.shard_batch(data, self.mesh)
+    (report, _) = self._jit_report(self.varibs, self._next_seed(), data)
+    return jax.device_get(report)
+
+  def dataset(self, generator):
+    from ...core import Prefetch
+    return Prefetch(
+        sources=[generator] * self.config.batch_size,
+        workers=8, prefetch=4)
+
+  def _filter_data(self, data):
+    return {
+        k: np.asarray(v) for k, v in data.items()
+        if not k.startswith('log_')}
+
+  # -- checkpointing ---------------------------------------------------------
+
+  def save(self):
+    self._create()
+    values = jax.device_get(self.varibs)
+    count = int(sum(np.prod(x.shape) for x in values.values()))
+    print(f'Saving agent with {len(values)} tensors and {count} values.')
+    return values
+
+  def load(self, values):
+    self._create()
+    existing = self.varibs
+    count = int(sum(np.prod(x.shape) for x in values.values()))
+    print(f'Loading agent with {len(values)} tensors and {count} values.')
+    if set(values.keys()) == set(existing.keys()):
+      loaded = {k: jnp.asarray(values[k]) for k in existing}
+    else:
+      # Name-sorted zip load for wire-format parity with checkpoints that
+      # used different module naming (reference: tfutils.py:116-131).
+      src = [v for _, v in sorted(values.items())]
+      dst = sorted(existing.keys())
+      assert len(src) == len(dst), (len(src), len(dst))
+      loaded = {}
+      for key, value in zip(dst, src):
+        assert existing[key].shape == value.shape, (
+            key, existing[key].shape, value.shape)
+        loaded[key] = jnp.asarray(value)
+    self.varibs = meshlib.replicate(loaded, self.mesh)

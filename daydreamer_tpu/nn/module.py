@@ -86,11 +86,12 @@ def pure(fn):
   """Wrap a module-using function into (state, seed, *args) -> (out, state)."""
 
   def purified(state, seed, *args, create=False, **kwargs):
-    if isinstance(seed, int) or (
-        isinstance(seed, np.ndarray) and seed.ndim == 0):
-      rng = jax.random.PRNGKey(seed)
-    else:
+    if hasattr(seed, 'dtype') and jnp.issubdtype(
+        getattr(seed, 'dtype', None), jax.dtypes.prng_key):
       rng = seed
+    else:
+      seed = jnp.asarray(seed)
+      rng = jax.random.PRNGKey(seed) if seed.shape == () else seed
     ctx = Context(state, rng, create)
     with _activate(ctx):
       out = fn(*args, **kwargs)

@@ -1,0 +1,99 @@
+"""Learner half of the async actor/learner pair
+(reference: embodied/run/learning.py:9-90).
+
+No environment: episodes arrive through the replay's StoreServer (ZMQ) or a
+shared-filesystem DiskStore sync; the train loop runs continuously on the
+TPU; weights are published for actors every `sync_every` wall-clock seconds
+via an atomically-written checkpoint file.
+"""
+
+import collections
+import time
+import warnings
+
+import numpy as np
+
+from .. import core
+from ..core import when as whenlib
+
+
+def learning(agent, train_replay, eval_replay, logger, args):
+  logdir = core.Path(args.logdir)
+  logdir.mkdirs()
+  print('Logdir', logdir)
+  should_sync = whenlib.Clock(args.sync_every)
+  should_log = whenlib.Clock(args.sync_every)
+  should_eval = whenlib.Every(args.eval_every)
+  step = logger.step
+
+  timer = core.Timer()
+  timer.wrap('agent', agent, ['train', 'report', 'save'])
+  if hasattr(train_replay, '_sample'):
+    timer.wrap('replay', train_replay, ['_sample'])
+
+  print('Initializing training replay...')
+  dataset_train = iter(agent.dataset(train_replay.dataset))
+  dataset_eval = None  # Initialized on first eval.
+
+  agent_cp = core.Checkpoint(logdir / 'agent.pkl')
+  agent_cp.agent = agent
+  agent_cp.load_or_save()
+
+  learner_cp = core.Checkpoint(logdir / 'learner.pkl')
+  learner_cp.train_replay = train_replay
+  learner_cp.step = step
+  learner_cp.load_or_save()
+
+  # Wait for prefill data from at least one actor to avoid overfitting to
+  # the first few episodes.
+  while len(train_replay) < args.train_fill:
+    print('Waiting for train data prefill '
+          f'({len(train_replay)}/{args.train_fill})...')
+    time.sleep(10)
+
+  print('Initializing agent...')
+  state = None
+  metrics = collections.defaultdict(list)
+
+  print('Start loop...')
+  batch = None
+  while step < args.steps:
+    batch = next(dataset_train)
+    outs, state, mets = agent.train(batch, state)
+    [metrics[key].append(value) for key, value in mets.items()]
+    if 'priority' in outs:
+      train_replay.prioritize(outs['key'], outs['priority'])
+    step.increment()
+
+    if should_log(step):
+      with warnings.catch_warnings():
+        warnings.simplefilter('ignore', category=RuntimeWarning)
+        agg = {
+            k: np.nanmean(x, dtype=np.float64) for k, x in metrics.items()}
+        logger.add(agg, prefix='train')
+        metrics.clear()
+      logger.add(agent.report(batch), prefix='report')
+      if dataset_eval:
+        logger.add(agent.report(next(dataset_eval)), prefix='report_eval')
+      logger.add(train_replay.stats, prefix='replay')
+      logger.add(eval_replay.stats, prefix='replay_eval')
+      logger.add(timer.stats(), prefix='timer')
+      logger.write(fps=True)
+
+    if should_sync(step):
+      agent_cp.save()
+      learner_cp.save()
+
+    if should_eval(step):
+      print('Evaluation.')
+      if not dataset_eval:
+        print('Initializing eval replay...')
+        dataset_eval = iter(agent.dataset(eval_replay.dataset))
+      scalars = collections.defaultdict(list)
+      for _ in range(args.eval_samples):
+        for key, value in agent.report(next(dataset_eval)).items():
+          if np.asarray(value).shape == ():
+            scalars[key].append(value)
+      logger.add(
+          {k: np.mean(xs) for k, xs in scalars.items()}, prefix='eval')
+      logger.write()

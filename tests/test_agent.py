@@ -1,0 +1,132 @@
+"""Agent integration tests on the Dummy env, mirroring the reference's
+shrunken TEST_CONFIG regression setup (reference:
+embodied/agents/dreamerv2plus/tests.py:26-53)."""
+
+import numpy as np
+import pytest
+
+import daydreamer_tpu as ddt
+from daydreamer_tpu.envs import load_env
+
+
+def make_config(**overrides):
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = ddt.Config(Agent.configs['defaults'])
+  config = config.update(Agent.configs['debug'])
+  config = config.update({
+      'jax.platform': 'cpu',
+      'batch_size': 8,
+      'replay_chunk': 8,
+      'imag_horizon': 3,
+      'env.amount': 1,
+      'env.length': 10,
+      **overrides,
+  })
+  return config
+
+
+def make_batch(env, config, T=None):
+  B = config.batch_size
+  T = T or config.replay_chunk
+  data = {}
+  for key, space in env.obs_space.items():
+    if key.startswith('log_'):
+      continue
+    data[key] = np.zeros((B, T) + space.shape, space.dtype)
+  data['action'] = np.zeros(
+      (B, T) + env.act_space['action'].shape, np.float32)
+  data['is_first'][:, 0] = True
+  data['reward'] = np.random.uniform(0, 1, data['reward'].shape).astype(
+      np.float32)
+  return data
+
+
+@pytest.mark.parametrize('task', ['dummy_discrete', 'dummy_continuous'])
+def test_train_and_policy(task):
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task=task)
+  env = load_env(task, amount=1, parallel='none', length=10)
+  step = ddt.Counter()
+  agent = Agent(env.obs_space, env.act_space, step, config)
+  data = make_batch(env, config)
+  # Train twice with state threading; losses must be finite.
+  outs, state, mets = agent.train(data)
+  outs, state, mets = agent.train(data, state)
+  assert np.isfinite(mets['model_loss_mean'])
+  assert np.isfinite(mets['model_opt_loss'])
+  assert np.isfinite(mets['extr_critic_opt_loss'])
+  assert np.isfinite(mets['actor_opt_loss'])
+  assert mets['model_opt_grad_steps'] == 2
+  # Policy produces valid actions and threads state.
+  obs = {k: v[:, 0] for k, v in data.items() if k != 'action'}
+  for mode in ('train', 'eval', 'explore'):
+    acts, pstate = agent.policy(obs, mode=mode)
+    action = acts['action']
+    assert action.shape == (config.batch_size,) + \
+        env.act_space['action'].shape
+    assert np.isfinite(action).all()
+    acts2, pstate = agent.policy(obs, pstate, mode=mode)
+  env.close()
+
+
+def test_losses_decrease():
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_continuous')
+  env = load_env('dummy_continuous', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  data = make_batch(env, config)
+  state = None
+  losses = []
+  for i in range(10):
+    _, state, mets = agent.train(data, state)
+    losses.append(float(mets['model_loss_mean']))
+  # World model should fit the fixed batch quickly.
+  assert losses[-1] < losses[0], losses
+  env.close()
+
+
+def test_report():
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_discrete')
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  data = make_batch(env, config)
+  report = agent.report(data)
+  assert 'openl_image' in report
+  video = report['openl_image']
+  assert video.ndim == 4  # T, H, W*B, C
+  assert np.isfinite(np.asarray(
+      report['model_loss_mean']))
+  env.close()
+
+
+def test_save_load_roundtrip():
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_discrete')
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  data = make_batch(env, config)
+  agent.train(data)
+  values = agent.save()
+  agent2 = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  agent2.load(values)
+  values2 = agent2.save()
+  for key in values:
+    assert np.allclose(values[key], values2[key]), key
+  env.close()
+
+
+def test_fixed_seed_determinism():
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_discrete')
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  data = None
+  results = []
+  for _ in range(2):
+    agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+    data = make_batch(env, config) if data is None else data
+    np.random.seed(0)
+    _, _, mets = agent.train(data)
+    results.append(float(mets['model_loss_mean']))
+  assert results[0] == results[1], results
+  env.close()
