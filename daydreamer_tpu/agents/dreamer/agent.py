@@ -140,10 +140,11 @@ class Agent(nn.Module):
       _, mets = self.expl_behavior.train(self.wm.imagine, start, context)
       metrics.update({'expl_' + k: v for k, v in mets.items()})
     outs = {}
-    if 'key' in data:
+    if 'prob' in data:
+      # PER feedback: 'key' stays host-side (int64 uuid encoding would be
+      # truncated by jax's int32 default); the wrapper reattaches it.
       criteria = {**data, **wm_outs}
-      outs.update(
-          key=data['key'], priority=criteria[self.config.priority])
+      outs.update(priority=criteria[self.config.priority])
     return outs, state, metrics
 
   def report(self, data):

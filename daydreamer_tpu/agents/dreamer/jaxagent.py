@@ -92,7 +92,13 @@ class JAXAgent:
   # -- creation --------------------------------------------------------------
 
   def _create(self):
-    """Eager creation pass on dummy zero batches derived from the spaces."""
+    """Eager creation pass on dummy zero batches derived from the spaces.
+
+    Runs on the host CPU backend regardless of the training platform: the
+    creation pass dispatches thousands of tiny eager ops (python-loop
+    scans), which would each round-trip to the TPU; param initial values
+    are platform-independent and are replicated onto the mesh afterwards.
+    """
     if self._created:
       return
     # Param shapes do not depend on batch dims, so create on a tiny batch;
@@ -101,13 +107,20 @@ class JAXAgent:
     data = self._dummy_batch(B, T)
     obs = {k: v[:, 0] for k, v in data.items()
            if k not in ('action', 'reset')}
-    varibs = self.varibs
-    carry0, varibs = self._pure_train_initial(varibs, 0, B, create=True)
-    _, varibs = self._pure_train(varibs, 0, data, carry0, create=True)
-    state0, varibs = self._pure_policy_initial(varibs, 0, B, create=True)
-    _, varibs = self._pure_policy(
-        varibs, 0, obs, state0, mode='train', create=True)
-    _, varibs = self._pure_report(varibs, 0, data, create=True)
+    try:
+      cpu = jax.local_devices(backend='cpu')[0]
+    except RuntimeError:
+      cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+      varibs = self.varibs
+      carry0, varibs = self._pure_train_initial(varibs, 0, B, create=True)
+      _, varibs = self._pure_train(varibs, 0, data, carry0, create=True)
+      state0, varibs = self._pure_policy_initial(
+          varibs, 0, B, create=True)
+      _, varibs = self._pure_policy(
+          varibs, 0, obs, state0, mode='train', create=True)
+      _, varibs = self._pure_report(varibs, 0, data, create=True)
+      varibs = jax.device_get(varibs)
     self.varibs = meshlib.replicate(varibs, self.mesh)
     self._created = True
     params = sum(
@@ -153,6 +166,7 @@ class JAXAgent:
   def train(self, data, state=None):
     self._create()
     data = self._filter_data(data)
+    keys = data.pop('key', None)  # Host-side PER keys (int64 uuid pairs).
     data = meshlib.shard_batch(data, self.mesh)
     if state is None:
       batch = len(next(iter(data.values())))
@@ -163,6 +177,8 @@ class JAXAgent:
     self.varibs = varibs
     outs = jax.device_get(outs)
     mets = jax.device_get(mets)
+    if keys is not None and 'priority' in outs:
+      outs['key'] = keys
     return outs, state, mets
 
   def report(self, data):

@@ -187,22 +187,23 @@ class RSSM(Module):
     return deter, deter
 
   def _stats_layer(self, name, x):
+    # Stats stay in the compute dtype so the scan carry has a uniform
+    # dtype; get_dist casts to float32 for the distribution math.
     if self._classes:
       x = self.sub(name, Linear, self._stoch * self._classes)(x)
       logit = x.reshape(
           x.shape[:-1] + (self._stoch, self._classes))
-      logit = f32(logit)
       if self._unimix:
-        probs = jax.nn.softmax(logit, -1)
+        probs = jax.nn.softmax(f32(logit), -1)
         uniform = jnp.ones_like(probs) / probs.shape[-1]
         probs = (1 - self._unimix) * probs + self._unimix * uniform
-        logit = jnp.log(probs)
+        logit = jnp.log(probs).astype(x.dtype)
       return {'logit': logit}
     else:
       x = self.sub(name, Linear, 2 * self._stoch)(x)
-      mean, std = jnp.split(f32(x), 2, -1)
-      std = 2 * jax.nn.sigmoid(std / 2) + 0.1
-      return {'mean': mean, 'std': std}
+      mean, std = jnp.split(x, 2, -1)
+      std = 2 * jax.nn.sigmoid(f32(std) / 2) + 0.1
+      return {'mean': mean, 'std': std.astype(x.dtype)}
 
   def kl_loss(self, post, prior, balance=0.8):
     """KL balancing (reference: nets.py:178-183)."""
