@@ -1,0 +1,101 @@
+"""Native-accelerated batch assembly for the learner's data feed.
+
+Replaces per-sample dict slicing + np.stack with one threaded C++ gather
+per batch (native/fastcopy.cpp): the sampler picks (trajectory, start)
+windows cheaply in Python, then all window rows are memcpy'd into the
+output batch buffers by a thread pool. Falls back to pure numpy when the
+native library cannot be built.
+"""
+
+import ctypes
+
+import numpy as np
+
+
+class NativeBatcher:
+  """Assembles [B, chunk, ...] batches directly from a FixedLength-style
+  replay's store, bypassing the per-sample generator path."""
+
+  def __init__(self, replay, batch_size, threads=4, seed=0):
+    self.replay = replay
+    self.store = replay.store
+    self.chunk = replay.chunk
+    self.batch_size = batch_size
+    self.threads = threads
+    self.random = np.random.RandomState(seed)
+    try:
+      from ..native import load
+      self._lib = load('fastcopy')
+    except Exception:
+      self._lib = None
+    self._out = None
+
+  def __iter__(self):
+    return self
+
+  def __next__(self):
+    import time
+    while True:
+      keys = self.store.keys()
+      if keys:
+        break
+      print('Waiting for episodes.')
+      time.sleep(1)
+    B, L = self.batch_size, self.chunk
+    picks = []
+    for _ in range(B):
+      for _ in range(100):
+        traj = self.store[keys[self.random.randint(0, len(keys))]]
+        total = len(next(iter(traj.values())))
+        if total >= L:
+          break
+      else:
+        raise RuntimeError('No trajectory long enough for chunk.')
+      lower = 0
+      upper = total - L + 1
+      if getattr(self.replay, 'prio_starts', 0):
+        lower -= int(L * self.replay.prio_starts)
+      if getattr(self.replay, 'prio_ends', 0):
+        upper += int(L * self.replay.prio_ends)
+      index = int(np.clip(
+          self.random.randint(lower, upper), 0, total - L))
+      picks.append((traj, index))
+    batch = self._assemble(picks)
+    batch['is_first'] = np.zeros((B, L), bool)
+    batch['is_first'][:, 0] = True
+    return batch
+
+  def _assemble(self, picks):
+    B, L = self.batch_size, self.chunk
+    example = picks[0][0]
+    batch = {}
+    tasks_srcs, tasks_offs, tasks_sizes = [], [], []
+    holders = []  # Keep slices alive until the gather runs.
+    for key in example.keys():
+      if key == 'is_first':
+        continue
+      value = example[key]
+      out = np.empty((B, L) + value.shape[1:], value.dtype)
+      batch[key] = out
+      row_bytes = int(np.prod(value.shape[1:]) * value.dtype.itemsize) * L
+      base = out.ctypes.data
+      for b, (traj, index) in enumerate(picks):
+        window = np.ascontiguousarray(traj[key][index: index + L])
+        holders.append(window)
+        tasks_srcs.append(window.ctypes.data)
+        tasks_offs.append(base + b * row_bytes)
+        tasks_sizes.append(row_bytes)
+    if self._lib is None:
+      for src, dst, nbytes in zip(tasks_srcs, tasks_offs, tasks_sizes):
+        ctypes.memmove(dst, src, nbytes)
+    else:
+      n = len(tasks_srcs)
+      srcs = (ctypes.c_char_p * n)(*[
+          ctypes.cast(s, ctypes.c_char_p) for s in tasks_srcs])
+      # Offsets are absolute addresses; pass dst=NULL base.
+      offs = (ctypes.c_int64 * n)(*tasks_offs)
+      sizes = (ctypes.c_int64 * n)(*tasks_sizes)
+      self._lib.fast_gather(
+          srcs, offs, sizes, n, ctypes.c_char_p(0), self.threads)
+    del holders
+    return batch
