@@ -167,13 +167,35 @@ class TensorBoardOutput(AsyncOutput):
       elif len(value.shape) == 3:
         self._writer.add_image(name, value, step, dataformats='HWC')
       elif len(value.shape) == 4:
-        # T,H,W,C video -> tensorboard expects N,T,C,H,W in [0, 255].
+        # T,H,W,C video. torch's add_video requires moviepy; fall back to
+        # a PIL-encoded GIF on disk plus a middle frame in TensorBoard.
         video = value
         if np.issubdtype(video.dtype, np.floating):
           video = np.clip(255 * video, 0, 255).astype(np.uint8)
-        video = video.transpose((0, 3, 1, 2))[None]
-        self._writer.add_video(name, video, step, fps=self._fps)
+        try:
+          self._writer.add_video(
+              name, video.transpose((0, 3, 1, 2))[None], step,
+              fps=self._fps)
+        except ImportError:
+          self._write_gif(name, video, step)
+          frame = video[len(video) // 2]
+          self._writer.add_image(name, frame, step, dataformats='HWC')
     self._writer.flush()
+
+  def _write_gif(self, name, video, step):
+    try:
+      from PIL import Image
+    except ImportError:
+      return
+    from . import path as pathlib
+    outdir = pathlib.Path(self._logdir) / 'videos'
+    outdir.mkdirs()
+    frames = [Image.fromarray(f) for f in video]
+    safe = name.replace('/', '_')
+    filename = str(outdir / f'{safe}_{step}.gif')
+    frames[0].save(
+        filename, save_all=True, append_images=frames[1:],
+        duration=int(1000 / self._fps), loop=0)
 
 
 class MLFlowOutput:

@@ -74,6 +74,19 @@ def load_single_env(
     assert repeat == 1
     outdir = core.Path(logdir) / 'crafter' if mode == 'train' else None
     env = Crafter(task, size, outdir)
+  elif suite == 'dmlab':
+    from .dmlab import DMLab
+    env = DMLab(task, repeat, size, mode, seed=seed, episodic=episodic)
+  elif suite == 'minecraft':
+    from .minecraft import Minecraft
+    env = Minecraft(task, repeat, size)
+  elif suite == 'loconav':
+    from .loconav import LocoNav
+    env = LocoNav(task, repeat, size, camera)
+  elif suite == 'hrlgrid':
+    from .hrlgrid import HRLGrid
+    assert repeat == 1
+    env = HRLGrid(int(task), length or 1000)
   else:
     raise NotImplementedError(suite)
   for name, space in env.act_space.items():

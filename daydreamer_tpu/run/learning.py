@@ -53,14 +53,14 @@ def learning(agent, train_replay, eval_replay, logger, args):
 
   print('Initializing agent...')
   state = None
-  metrics = collections.defaultdict(list)
+  metrics = []  # Possibly-lazy metric dicts; materialized at log time.
 
   print('Start loop...')
   batch = None
   while step < args.steps:
     batch = next(dataset_train)
     outs, state, mets = agent.train(batch, state)
-    [metrics[key].append(value) for key, value in mets.items()]
+    metrics.append(mets)
     if 'priority' in outs:
       train_replay.prioritize(outs['key'], outs['priority'])
     step.increment()
@@ -68,8 +68,12 @@ def learning(agent, train_replay, eval_replay, logger, args):
     if should_log(step):
       with warnings.catch_warnings():
         warnings.simplefilter('ignore', category=RuntimeWarning)
+        lists = collections.defaultdict(list)
+        for mets in metrics:
+          for name, value in mets.items():
+            lists[name].append(value)
         agg = {
-            k: np.nanmean(x, dtype=np.float64) for k, x in metrics.items()}
+            k: np.nanmean(x, dtype=np.float64) for k, x in lists.items()}
         logger.add(agg, prefix='train')
         metrics.clear()
       logger.add(agent.report(batch), prefix='report')

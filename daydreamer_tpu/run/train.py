@@ -79,7 +79,7 @@ def train(agent, env, replay, logger, args):
   for _ in range(args.pretrain):
     _, state[0], _ = agent.train(next(dataset), state[0])
 
-  metrics = collections.defaultdict(list)
+  metrics = []  # Possibly-lazy metric dicts; materialized at log time.
   batch = [None]
 
   def train_step(tran, worker):
@@ -87,16 +87,20 @@ def train(agent, env, replay, logger, args):
       for _ in range(args.train_steps):
         batch[0] = next(dataset)
         outs, state[0], mets = agent.train(batch[0], state[0])
-        [metrics[key].append(value) for key, value in mets.items()]
+        metrics.append(mets)
         if 'priority' in outs:
           replay.prioritize(outs['key'], outs['priority'])
     if should_log(step):
       with warnings.catch_warnings():  # Ignore empty slice warnings.
         warnings.simplefilter('ignore', category=RuntimeWarning)
-        for name, values in metrics.items():
+        agg = collections.defaultdict(list)
+        for mets in metrics:
+          for name, value in mets.items():
+            agg[name].append(value)
+        for name, values in agg.items():
           logger.scalar(
               'train/' + name, np.nanmean(values, dtype=np.float64))
-          metrics[name].clear()
+        metrics.clear()
       logger.add(agent.report(batch[0]), prefix='report')
       logger.add(timer.stats(), prefix='timer')
       logger.write(fps=True)

@@ -83,7 +83,7 @@ def train_fixed_eval(agent, env, train_replay, eval_replay, logger, args):
   for _ in range(args.pretrain):
     _, state[0], _ = agent.train(next(dataset_train), state[0])
 
-  metrics = collections.defaultdict(list)
+  metrics = []  # Possibly-lazy metric dicts; materialized at log time.
   batch = [None]
 
   def train_step(tran, worker):
@@ -91,16 +91,20 @@ def train_fixed_eval(agent, env, train_replay, eval_replay, logger, args):
       for _ in range(args.train_steps):
         batch[0] = next(dataset_train)
         outs, state[0], mets = agent.train(batch[0], state[0])
-        [metrics[key].append(value) for key, value in mets.items()]
+        metrics.append(mets)
         if 'priority' in outs:
           train_replay.prioritize(outs['key'], outs['priority'])
     if should_log(step):
       with warnings.catch_warnings():
         warnings.simplefilter('ignore', category=RuntimeWarning)
-        for name, values in metrics.items():
+        agg = collections.defaultdict(list)
+        for mets in metrics:
+          for name, value in mets.items():
+            agg[name].append(value)
+        for name, values in agg.items():
           logger.scalar(
               'train/' + name, np.nanmean(values, dtype=np.float64))
-          metrics[name].clear()
+        metrics.clear()
       logger.add(agent.report(batch[0]), prefix='report')
       logger.add(agent.report(next(dataset_eval)), prefix='eval')
       logger.add(timer.stats(), prefix='timer')
