@@ -150,18 +150,20 @@ class JAXAgent:
       raise NotImplementedError(jaxcfg.precision)
     if jaxcfg.debug_nans:
       jax.config.update('jax_debug_nans', True)
-    # Persistent compilation cache: repeated runs (benchmarks, actor
-    # restarts, crash resume) skip the multi-minute XLA compile.
+    # Persistent compilation cache (opt-in via DAYDREAMER_COMPILE_CACHE):
+    # repeated runs skip the multi-minute XLA compile. Not enabled by
+    # default because tunneled/experimental TPU backends can stall for
+    # many minutes serializing large executables.
     import os
-    cache = os.environ.get(
-        'DAYDREAMER_COMPILE_CACHE',
-        os.path.expanduser('~/.cache/daydreamer_tpu/xla'))
-    try:
-      os.makedirs(cache, exist_ok=True)
-      jax.config.update('jax_compilation_cache_dir', cache)
-      jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-      pass
+    cache = os.environ.get('DAYDREAMER_COMPILE_CACHE', '')
+    if cache:
+      try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update(
+            'jax_persistent_cache_min_compile_time_secs', 1.0)
+      except Exception:
+        pass
     self.mesh = meshlib.make_mesh({'data': -1})
     self._data_sharding = meshlib.batch_sharded(self.mesh)
     self._repl_sharding = meshlib.replicated(self.mesh)
@@ -270,6 +272,11 @@ class JAXAgent:
     return jax.device_get(report)
 
   def dataset(self, generator):
+    loader = self.config.data_loader
+    if loader == 'native' and hasattr(generator, '__self__'):
+      # Threaded C++ batch assembly straight from the replay's store.
+      from ...replay.batcher import NativeBatcher
+      return NativeBatcher(generator.__self__, self.config.batch_size)
     from ...core import Prefetch
     return Prefetch(
         sources=[generator] * self.config.batch_size,

@@ -63,6 +63,17 @@ class Timer:
     self._durations.clear()
     self._start = time.perf_counter()
 
+  @contextlib.contextmanager
+  def profile(self, logdir):
+    """Capture a jax.profiler device trace for the enclosed scope; view in
+    TensorBoard's profile plugin or Perfetto."""
+    import jax
+    jax.profiler.start_trace(str(logdir))
+    try:
+      yield
+    finally:
+      jax.profiler.stop_trace()
+
   def _log(self, metrics):
     names = self._durations.keys()
     names = sorted(names, key=lambda k: -metrics.get(f'{k}_frac', 0))

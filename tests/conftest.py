@@ -15,3 +15,9 @@ os.environ.setdefault('JAX_TRACEBACK_FILTERING', 'off')
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+  config.addinivalue_line('markers', 'slow: long-running integration test')
