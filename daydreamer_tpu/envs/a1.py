@@ -54,7 +54,10 @@ class A1(base.Env):
     else:  # dummy: spaces only, for learner-side construction.
       self._env = None
       self._act_dim = 12
-      self._vec_dim = 57
+      # Must match the sim's flattened proprio dim (dm_control quadruped
+      # walk observation) so learner-side agents built against a1_dummy
+      # load actor checkpoints byte-compatibly.
+      self._vec_dim = 78
 
   @functools.cached_property
   def obs_space(self):
