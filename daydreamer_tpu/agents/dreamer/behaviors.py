@@ -103,6 +103,149 @@ class _Uniform:
     return jnp.full(self._shape[:-1], self._shape[-1] * np.log(2.0))
 
 
+class KnownReward(nn.Module):
+  """Actor-critic on a hand-specified reward over decoded observations
+  (reference: behaviors.py:49-94)."""
+
+  def __init__(self, name, wm, act_space, config):
+    super().__init__(name)
+    self.wm = wm
+    self.config = config
+    self.ac = self.sub(
+        'ac', agentlib.ImagActorCritic,
+        {'manual': self.sub('critic', agentlib.VFunction, self.rewfn,
+                            config)},
+        {'manual': 1.0}, act_space, config)
+
+  def rewfn(self, s):
+    if self.config.known_reward == 'none':
+      return jnp.zeros(s['deter'][1:, ..., 0].shape, f32)
+    raise NotImplementedError(self.config.known_reward)
+
+  def initial(self, batch_size):
+    return self.ac.initial(batch_size)
+
+  def policy(self, latent, state):
+    return self.ac.policy(latent, state)
+
+  def train(self, imagine, start, data):
+    return self.ac.train(imagine, start, data)
+
+  def report(self, data):
+    return {}
+
+
+class DisagWhen(nn.Module):
+  """Switches between achiever and explorer policies when ensemble
+  disagreement exceeds a buffer quantile (reference: behaviors.py:170-253).
+
+  The disagreement buffer is functional state: a [capacity, deter] ring of
+  high-disagreement states plus their scores, updated each train step by a
+  top-k merge (replacing the reference's tf.Variable assignments)."""
+
+  def __init__(self, name, wm, act_space, config):
+    super().__init__(name)
+    config = config.update({'disag_head.inputs': ['deter']})
+    self.act_space = act_space
+    self.config = config
+    rewfn = lambda s: wm.heads['reward'](s).mean()[1:]
+    self.achiever = self.sub(
+        'achiever', agentlib.ImagActorCritic,
+        {'extr': self.sub('critic_extr', agentlib.VFunction, rewfn,
+                          config)},
+        {'extr': 1.0}, act_space, config)
+    self.disag = self.sub('disag', expl.Disag, wm, act_space, config)
+    self.explorer = self.sub(
+        'explorer', agentlib.ImagActorCritic,
+        {'expl': self.sub('critic_expl', agentlib.VFunction, self.disag,
+                          config)},
+        {'expl': 1.0}, act_space, config)
+    self.capacity = int(config.expl_when_buffer)
+
+  def initial(self, batch_size):
+    return {
+        'achiever': self.achiever.initial(batch_size),
+        'explorer': self.explorer.initial(batch_size),
+        'exploring': jnp.zeros(batch_size, bool),
+        'counter': jnp.zeros(batch_size, jnp.int32),
+    }
+
+  def _buffer(self):
+    deter = self.config.rssm.deter
+    buffer = self.value(
+        'buffer', jnp.zeros((self.capacity, deter), f32), trainable=False)
+    disags = self.value(
+        'disags', jnp.zeros(self.capacity, f32), trainable=False)
+    return buffer, disags
+
+  def policy(self, latent, state):
+    _, disags = self._buffer()
+    disag = self._disagreement(latent['deter'])
+    higher = disag[:, None] > disags[None, :]
+    frac = higher.astype(f32).sum(1) / self.capacity
+    exploring = jnp.where(
+        state['counter'] > 0, state['exploring'],
+        frac > self.config.expl_when_frac)
+    counter = (state['counter'] + 1) % self.config.expl_when_every
+    ac_out, ac_state = self.achiever.policy(latent, state['achiever'])
+    ex_out, ex_state = self.explorer.policy(latent, state['explorer'])
+    ac_dist = ac_out['action']
+    if self.config.expl_when_random:
+      shape = (len(state['counter']),) + self.act_space.shape
+      if self.act_space.discrete:
+        ac_dist = nn.OneHotDist(jnp.zeros(shape))
+      else:
+        ac_dist = _Uniform(shape)
+    act = jnp.where(
+        exploring[:, None],
+        ex_out['action'].sample(nn.rng()),
+        ac_dist.sample(nn.rng()))
+    state = {
+        'achiever': ac_state, 'explorer': ex_state,
+        'exploring': exploring, 'counter': counter}
+    return {'action': _Deterministic(act)}, state
+
+  def train(self, imagine, start, data):
+    metrics = {}
+    metrics.update(self.disag.train(data))
+    traj, mets = self.explorer.train(imagine, start, data)
+    metrics.update({f'explorer_{k}': v for k, v in mets.items()})
+    traj, mets = self.achiever.train(imagine, start, data)
+    metrics.update({f'achiever_{k}': v for k, v in mets.items()})
+    # Update the disagreement buffer with the batch's mid-sequence states.
+    buffer, disags = self._buffer()
+    states = f32(data['deter'][:, data['deter'].shape[1] // 2])
+    merged = jnp.concatenate([buffer, states], 0)
+    merged_disags = jnp.concatenate(
+        [disags, self._disagreement(states)], 0)
+    indices = jnp.argsort(merged_disags)[-self.capacity:]
+    self.write('buffer', merged[indices])
+    self.write('disags', merged_disags[indices])
+    return traj, metrics
+
+  def _disagreement(self, deter):
+    return self.disag(
+        {'deter': jnp.concatenate([deter[:1], deter], 0)})
+
+  def report(self, data):
+    return {}
+
+
+class _Deterministic:
+
+  def __init__(self, value):
+    self._value = value
+
+  def sample(self, key):
+    return self._value
+
+  def mode(self):
+    return self._value
+
+  def entropy(self):
+    return jnp.zeros(self._value.shape[:-1], f32)
+
+
 class Explore(nn.Module):
   """Multi-reward exploration actor-critic (reference: behaviors.py:123-167):
   extrinsic plus disagreement/VAE/control/PBE intrinsic critics."""

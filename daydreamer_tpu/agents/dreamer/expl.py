@@ -18,7 +18,10 @@ class Disag(nn.Module):
 
   def __init__(self, name, wm, act_space, config):
     super().__init__(name)
-    self.config = config
+    # The ensemble heads consume the already-gathered feature tensor;
+    # only the outer Input uses the configured keys (reference:
+    # expl.py:12-15).
+    self.config = config.update({'disag_head.inputs': ['tensor']})
     self.opt = self.sub('opt', nn.Optimizer, **config.expl_opt)
     self.inputs = nets.Input(config.disag_head.inputs, dims='deter')
     self.target = nets.Input(config.disag_target, dims='deter')

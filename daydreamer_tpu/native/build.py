@@ -16,6 +16,7 @@ _CACHE = {}
 SOURCES = {
     'robot_interface': ('robot_interface.cpp', []),
     'fastcopy': ('fastcopy.cpp', ['-pthread']),
+    'qp_solver': ('qp_solver.cpp', []),
 }
 
 
@@ -68,3 +69,9 @@ def _configure(name, lib):
     lib.fast_gather.argtypes = [
         c.POINTER(c.c_char_p), c.POINTER(c.c_int64), c.POINTER(c.c_int64),
         c.c_int64, c.c_char_p, c.c_int]
+  elif name == 'qp_solver':
+    lib.qp_solve_box.restype = c.c_int
+    lib.qp_solve_box.argtypes = [
+        c.POINTER(c.c_double), c.POINTER(c.c_double),
+        c.POINTER(c.c_double), c.POINTER(c.c_double), c.c_int,
+        c.POINTER(c.c_double), c.c_int, c.c_double, c.c_double]

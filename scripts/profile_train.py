@@ -49,7 +49,7 @@ def main():
 
   pre = nn.pure(lambda d: inner.preprocess(d))
 
-  def wm_only(state, seed, d, carry):
+  def wm_only(d, carry):
     d2 = inner.preprocess(d)
     return inner.wm.train(d2, carry)
 
@@ -65,7 +65,7 @@ def main():
   t_full = timeit(lambda: full_fn(varibs, np.uint32(2), data, carry0))
   print(f'full train:    {t_full * 1000:.2f} ms')
 
-  def obs_only(state, seed, d, carry):
+  def obs_only(d, carry):
     d2 = inner.preprocess(d)
     embed = inner.wm.encoder(d2)
     post, prior = inner.wm.rssm.observe(

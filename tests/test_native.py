@@ -161,3 +161,34 @@ class TestNativeBatcher:
     # Rows must be consistent windows: action[t] == reward[t].
     assert np.array_equal(
         batch['action'][..., 0], batch['reward'])
+
+
+class TestQPSolver:
+
+  def test_unconstrained_solution(self):
+    from daydreamer_tpu.native.qp import solve_box_qp
+    P = np.diag([2.0, 4.0])
+    q = np.array([-2.0, -8.0])
+    x, iters = solve_box_qp(P, q, [-10, -10], [10, 10])
+    # Minimum of 0.5 x'Px + q'x at P^-1 (-q) = [1, 2].
+    assert np.allclose(x, [1.0, 2.0], atol=1e-3), x
+
+  def test_active_box_constraint(self):
+    from daydreamer_tpu.native.qp import solve_box_qp
+    P = np.eye(3)
+    q = np.array([-5.0, 0.0, 5.0])
+    x, iters = solve_box_qp(P, q, [-1, -1, -1], [1, 1, 1])
+    assert np.allclose(x, [1.0, 0.0, -1.0], atol=1e-3), x
+
+  def test_coupled_problem_matches_projection(self):
+    from daydreamer_tpu.native.qp import solve_box_qp
+    rng = np.random.RandomState(0)
+    A = rng.randn(5, 5)
+    P = A @ A.T + np.eye(5)
+    q = rng.randn(5)
+    x, iters = solve_box_qp(P, q, [-0.5] * 5, [0.5] * 5)
+    # KKT check: gradient must point outward only at active bounds.
+    grad = P @ x + q
+    for i in range(5):
+      if abs(x[i]) < 0.499:
+        assert abs(grad[i]) < 1e-2, (i, grad[i])
