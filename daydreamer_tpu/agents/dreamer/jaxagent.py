@@ -133,13 +133,15 @@ class JAXAgent:
           static_argnames=('mode',))
       self._jit_train = jax.jit(
           self._pure_train_packed, donate_argnums=(0,),
-          in_shardings=(repl, repl, data_sh, data_sh))
+          in_shardings=(repl, repl, data_sh, data_sh),
+          out_shardings=((repl, data_sh, repl), repl))
       self._jit_report = jax.jit(
           self._pure_report, in_shardings=(repl, repl, data_sh))
       self._jit_policy_initial = jax.jit(
           self._pure_policy_initial, static_argnums=(2,))
       self._jit_train_initial = jax.jit(
-          self._pure_train_initial, static_argnums=(2,))
+          self._pure_train_initial, static_argnums=(2,),
+          out_shardings=(data_sh, repl))
     else:
       self._jit_policy = self._pure_policy
       self._jit_train = self._pure_train_packed
@@ -172,7 +174,12 @@ class JAXAgent:
             'jax_persistent_cache_min_compile_time_secs', 1.0)
       except Exception:
         pass
-    self.mesh = meshlib.make_mesh({'data': -1})
+    # Batch-parallel mesh over as many devices as divide the batch size.
+    devices = jax.devices()
+    n = len(devices)
+    while self.config.batch_size % n:
+      n -= 1
+    self.mesh = meshlib.make_mesh({'data': n}, devices[:n])
     self._data_sharding = meshlib.batch_sharded(self.mesh)
     self._repl_sharding = meshlib.replicated(self.mesh)
 
