@@ -1,0 +1,72 @@
+"""Stance-force MPC example using the native QP solver.
+
+Counterpart of the reference's whole-body controller examples
+(reference: motion_imitation/examples/whole_body_controller_example.py,
+backed by vendored qpOASES/OSQP): allocates contact forces for a quadruped
+stance by solving a box-constrained QP that tracks desired body wrench
+while respecting per-leg normal-force limits and friction-pyramid bounds.
+
+Run: python -m examples.whole_body_controller
+"""
+
+import numpy as np
+
+MASS = 12.0      # kg, A1-ish.
+GRAVITY = 9.81
+MU = 0.6         # Friction coefficient.
+F_MAX = 120.0    # Max normal force per leg, N.
+
+# Foot positions in the body frame (x forward, y left), standing pose.
+FOOT_POS = np.array([
+    [+0.17, -0.13, -0.3],   # FR
+    [+0.17, +0.13, -0.3],   # FL
+    [-0.20, -0.13, -0.3],   # RR
+    [-0.20, +0.13, -0.3],   # RL
+])
+
+
+def skew(v):
+  return np.array([
+      [0, -v[2], v[1]],
+      [v[2], 0, -v[0]],
+      [-v[1], v[0], 0]])
+
+
+def stance_force_qp(desired_wrench, weight_force=1e-4):
+  """Solve min ||A f - w||^2 + reg ||f||^2 with box bounds on f.
+
+  f stacks 4 legs x 3 force components (body frame). The friction pyramid
+  is approximated by bounding tangential components to MU * F_z_nominal
+  (box relaxation, standard in stance controllers)."""
+  from daydreamer_tpu.native.qp import solve_box_qp
+  A = np.zeros((6, 12))
+  for i, pos in enumerate(FOOT_POS):
+    A[:3, 3 * i: 3 * i + 3] = np.eye(3)       # Net force.
+    A[3:, 3 * i: 3 * i + 3] = skew(pos)       # Net torque.
+  P = A.T @ A + weight_force * np.eye(12)
+  q = -A.T @ desired_wrench
+  fz_nom = MASS * GRAVITY / 4
+  lo = np.tile([-MU * fz_nom, -MU * fz_nom, 0.0], 4)
+  hi = np.tile([MU * fz_nom, MU * fz_nom, F_MAX], 4)
+  forces, iters = solve_box_qp(2 * P, 2 * q, lo, hi)
+  residual = A @ forces - desired_wrench
+  return forces.reshape(4, 3), iters, residual
+
+
+def main():
+  # Desired wrench: support body weight, small forward push, zero torque.
+  desired = np.array([8.0, 0.0, MASS * GRAVITY, 0.0, 0.0, 0.0])
+  forces, iters, residual = stance_force_qp(desired)
+  print('Per-leg contact forces (body frame, N):')
+  for name, f in zip(['FR', 'FL', 'RR', 'RL'], forces):
+    print(f'  {name}: fx={f[0]:7.2f}  fy={f[1]:7.2f}  fz={f[2]:7.2f}')
+  print(f'QP iterations: {iters}')
+  print(f'Wrench residual: {np.abs(residual).max():.4f}')
+  total_fz = forces[:, 2].sum()
+  assert abs(total_fz - MASS * GRAVITY) < 1.0, total_fz
+  print(f'Total normal force {total_fz:.1f} N supports '
+        f'{MASS * GRAVITY:.1f} N weight. OK')
+
+
+if __name__ == '__main__':
+  main()
