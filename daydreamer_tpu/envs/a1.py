@@ -91,21 +91,22 @@ class A1(base.Env):
         return self._obs(obs, 0.0, is_first=True)
     act = np.clip(np.asarray(action['action'], np.float32), -1, 1)
     reward = 0.0
+    # Length counts env (driver) steps; `repeat` sub-steps the physics.
     if self._task == 'sim':
       ctrl = (act + 1) / 2 * (self._act_high - self._act_low) + self._act_low
       for _ in range(self._repeat):
         ts = self._env.step(ctrl)
         reward += self._shaped_reward()
-        self._step_count += 1
         if ts.last():
           break
+      self._step_count += 1
       self._done = ts.last() or self._step_count >= self._length
       terminal = ts.last() and ts.discount == 0
       return self._obs(
           ts.observation, reward, is_last=self._done, is_terminal=terminal)
     else:
       obs, reward = self._env.apply(act, self._repeat)
-      self._step_count += self._repeat
+      self._step_count += 1
       self._done = self._step_count >= self._length
       return self._obs(obs, reward, is_last=self._done, is_terminal=False)
 
