@@ -31,7 +31,7 @@ class Optimizer(Module):
     super().__init__(name)
     assert opt == 'adam', opt
     assert 0 <= wd < 1, wd
-    assert not clip or 1 <= clip, clip
+    assert clip >= 0, clip
     self._lr = lr
     self._eps = eps
     self._clip = clip

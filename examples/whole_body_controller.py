@@ -53,7 +53,35 @@ def stance_force_qp(desired_wrench, weight_force=1e-4):
   return forces.reshape(4, 3), iters, residual
 
 
-def main():
+def command_to_wrench(vx, vy, wz, kx=20.0, ky=20.0, kw=6.0):
+  """Map a teleop velocity command to a desired body wrench."""
+  return np.array([kx * vx, ky * vy, MASS * GRAVITY, 0.0, 0.0, kw * wz])
+
+
+def main(argv=None):
+  import argparse
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--teleop', action='store_true',
+                      help='Read vx/vy/wz from a gamepad (reference: '
+                           'whole_body_controller_example.py uses the '
+                           'F710 gamepad reader); LB+RB stops.')
+  args = parser.parse_args(argv)
+  if args.teleop:
+    import time
+    from daydreamer_tpu.envs.drivers.gamepad import Gamepad
+    pad = Gamepad()
+    print('Teleop: left stick = vx/vy, right stick x = yaw; LB+RB stops.')
+    try:
+      while not pad.estop_flagged:
+        vx, vy, wz = pad.speed_command()
+        forces, iters, _ = stance_force_qp(command_to_wrench(vx, vy, wz))
+        fz = ' '.join(f'{f:6.1f}' for f in forces[:, 2])
+        print(f'\rv=({vx:+.2f},{vy:+.2f},{wz:+.2f}) fz=[{fz}] '
+              f'({iters} it)', end='')
+        time.sleep(0.05)
+    finally:
+      pad.stop()
+    return
   # Desired wrench: support body weight, small forward push, zero torque.
   desired = np.array([8.0, 0.0, MASS * GRAVITY, 0.0, 0.0, 0.0])
   forces, iters, residual = stance_force_qp(desired)

@@ -77,6 +77,47 @@ class TestHRLGrid:
     assert np.isfinite(total)
 
 
+class TestGamepad:
+  """Evdev gamepad reader driven by a synthetic event stream."""
+
+  def _run(self, events):
+    import io
+    import time
+    from daydreamer_tpu.envs.drivers import gamepad as gp
+    stream = io.BytesIO(b''.join(events))
+    pad = gp.Gamepad(vel_scale_x=0.4, vel_scale_y=0.4, vel_scale_rot=1.0,
+                     device=stream)
+    deadline = time.time() + 2.0
+    while pad._thread.is_alive() and time.time() < deadline:
+      time.sleep(0.01)
+    pad.is_running = False
+    return pad
+
+  def test_stick_to_velocity_mapping(self):
+    from daydreamer_tpu.envs.drivers import gamepad as gp
+    pad = self._run([
+        gp.pack_event(gp.EV_ABS, gp.ABS_Y, -32768),  # Full forward.
+        gp.pack_event(gp.EV_ABS, gp.ABS_X, 16384),   # Half right.
+        gp.pack_event(gp.EV_ABS, gp.ABS_RX, -32768),  # Full left yaw.
+    ])
+    vx, vy, wz = pad.speed_command()
+    assert vx == pytest.approx(0.4)
+    assert vy == pytest.approx(-0.2)
+    assert wz == pytest.approx(1.0)
+    assert not pad.estop_flagged
+
+  def test_estop_latches_and_zeroes(self):
+    from daydreamer_tpu.envs.drivers import gamepad as gp
+    pad = self._run([
+        gp.pack_event(gp.EV_ABS, gp.ABS_Y, -32768),
+        gp.pack_event(gp.EV_KEY, gp.BTN_TL, 1),
+        gp.pack_event(gp.EV_KEY, gp.BTN_TR, 1),
+        gp.pack_event(gp.EV_ABS, gp.ABS_Y, -32768),  # After estop: ignored.
+    ])
+    assert pad.estop_flagged
+    assert pad.speed_command() == (0.0, 0.0, 0.0)
+
+
 @pytest.mark.slow
 class TestMuJoCoEnvs:
 
