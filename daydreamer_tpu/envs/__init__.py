@@ -39,7 +39,7 @@ def load_env(
 def load_single_env(
     task, size=(64, 64), repeat=1, mode='train', camera=-1, gray=False,
     length=0, logdir='/dev/null', discretize=0, sticky=True, lives=False,
-    episodic=True, resets=True, seed=None):
+    episodic=True, resets=True, render=True, seed=None):
   suite, task = task.split('_', 1)
   if suite == 'dummy':
     env = Dummy(task, size, length or 100)
@@ -47,7 +47,10 @@ def load_single_env(
     from .gym import Gym
     env = Gym(task)
   elif suite == 'a1':
-    env = A1(task, repeat, length or 1000, True, size)
+    # `render` gates the per-step 64x64 camera render: software EGL costs
+    # ~80ms/frame, dominating proprio-only training where the image is
+    # never encoded (a1 config uses cnn_keys '$^').
+    env = A1(task, repeat, length or 1000, render, size)
   elif suite == 'xarm':
     assert task in ('real', 'dummy')
     env = PickPlace(EnvConfig(

@@ -38,7 +38,13 @@ class A1(base.Env):
     if task == 'sim':
       os.environ.setdefault('MUJOCO_GL', 'egl')
       from dm_control import suite
-      self._env = suite.load('quadruped', 'walk')
+      # Disable the suite's internal 20s time limit: episode length is
+      # owned by `length`/TimeLimit (the reference's PyBullet env likewise
+      # had no inner limit). Otherwise, with repeat=50, episodes cap at 21
+      # driver steps — shorter than the a1 config's replay_chunk=32 — and
+      # the replay would silently never fill.
+      self._env = suite.load('quadruped', 'walk',
+                             task_kwargs={'time_limit': float('inf')})
       self._physics = self._env.physics
       spec = self._env.action_spec()
       self._act_dim = int(np.prod(spec.shape))

@@ -72,6 +72,12 @@ def train(agent, env, replay, logger, args):
     print(f'Fill train dataset ({train_fill} steps).')
     random_agent = core.RandomAgent(env.act_space)
     driver(random_agent.policy, steps=train_fill, episodes=1)
+  if not len(replay):
+    # Loud diagnosis for silent starvation: every collected trajectory was
+    # rejected (e.g. episodes shorter than replay_chunk), so training
+    # would wait forever while collection continues happily.
+    print('WARNING: replay is empty after prefill; if episodes are '
+          'shorter than replay_chunk they are skipped at insert time.')
 
   dataset = iter(agent.dataset(replay.dataset))
   state = [None]  # Writable from the train step closure below.
