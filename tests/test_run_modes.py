@@ -1,0 +1,84 @@
+"""Run-mode integration: train_eval and train_fixed_eval on the Dummy env.
+
+Covers the two eval-bearing run loops (reference:
+embodied/run/train_eval.py:9-121 and train_fixed_eval.py:9-122) that the
+async tests and plain-train tests do not touch: separate eval env and
+replay, eval episodes between train bursts, and fixed-dataset reports.
+"""
+
+import numpy as np
+import pytest
+
+import daydreamer_tpu as ddt
+from daydreamer_tpu import run as runlib
+from daydreamer_tpu import replay as replaylib
+from daydreamer_tpu.envs import load_env
+
+
+def build(tmp_path, **overrides):
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = ddt.Config(Agent.configs['defaults'])
+  config = config.update(Agent.configs['debug'])
+  config = config.update({
+      'task': 'dummy_discrete',
+      'jax.platform': 'cpu',
+      'batch_size': 4,
+      'replay_chunk': 8,
+      'imag_horizon': 3,
+      'env.amount': 1,
+      'env.length': 10,
+      'env.parallel': 'none',
+      'logdir': str(tmp_path),
+      **overrides,
+  })
+  env = load_env(config.task, mode='train', **config.env)
+  step = ddt.Counter()
+  agent = Agent(env.obs_space, env.act_space, step, config)
+  logger = ddt.Logger(step, [ddt.JSONLOutput(str(tmp_path))])
+  return config, env, agent, step, logger
+
+
+def read_metrics(tmp_path):
+  import json
+  path = tmp_path / 'metrics.jsonl'
+  return [json.loads(l) for l in path.read_text().splitlines()]
+
+
+@pytest.mark.slow
+def test_train_eval(tmp_path):
+  config, env, agent, step, logger = build(tmp_path)
+  eval_env = load_env(config.task, mode='eval', **config.env)
+  make_replay = lambda: replaylib.FixedLength(
+      replaylib.RAMStore(int(1e5)), chunk=config.replay_chunk)
+  args = ddt.Config(
+      logdir=str(tmp_path), **config.train).update(
+      steps=60, train_fill=30, eval_fill=30, train_every=10,
+      log_every=20, eval_every=30, eval_eps=1, eval_samples=1)
+  runlib.train_eval(
+      agent, env, eval_env, make_replay(), make_replay(), logger, args)
+  rows = read_metrics(tmp_path)
+  trains = [r for r in rows if any(k.startswith('train_episode') for k in r)]
+  evals = [r for r in rows if 'eval_episode/score' in r]
+  assert int(step) >= 60
+  assert trains, 'no train episodes logged'
+  assert evals, 'no eval episodes logged'
+  env.close()
+  eval_env.close()
+
+
+@pytest.mark.slow
+def test_train_fixed_eval(tmp_path):
+  config, env, agent, step, logger = build(tmp_path)
+  make_replay = lambda: replaylib.FixedLength(
+      replaylib.RAMStore(int(1e5)), chunk=config.replay_chunk)
+  args = ddt.Config(
+      logdir=str(tmp_path), **config.train).update(
+      steps=60, train_fill=30, eval_fill=16, train_every=10,
+      log_every=20, eval_every=30, eval_samples=1)
+  runlib.train_fixed_eval(
+      agent, env, make_replay(), make_replay(), logger, args)
+  rows = read_metrics(tmp_path)
+  reports = [r for r in rows if any('eval' in k for k in r)]
+  assert int(step) >= 60
+  assert reports, 'no fixed-eval report logged'
+  env.close()
