@@ -43,6 +43,8 @@ class LazyMetrics(dict):
   def _materialize(self):
     if not self._done:
       values = np.asarray(self._packed)
+      if values.ndim == 2:  # Fused multi-step train: [steps, metrics].
+        values = values.mean(0)
       super().update(dict(zip(self._names, values)))
       self._done = True
       self._packed = None
@@ -115,6 +117,23 @@ class JAXAgent:
       return (outs, carry, packed), varibs
 
     self._pure_train_packed = train_packed
+
+    def train_multi_packed(state, seeds, datas, carry):
+      # K gradient updates inside ONE device dispatch: a lax.scan over the
+      # train step threading the full agent state. Amortizes per-dispatch
+      # overhead (host->device RPC latency dominates small-model steps on
+      # tunneled backends) and lets XLA keep the state in HBM across steps.
+      def body(loop, inp):
+        varibs, carry = loop
+        seed, data = inp
+        (outs, carry, packed), varibs = train_packed(
+            varibs, seed, data, carry)
+        return (varibs, carry), (outs, packed)
+      (state, carry), (outs, packeds) = jax.lax.scan(
+          body, (state, carry), (seeds, datas))
+      return (outs, carry, packeds), state
+
+    self._pure_train_multi = train_multi_packed
     self._pure_policy_initial = nn.pure(self.agent.policy_initial)
     self._pure_train_initial = nn.pure(self.agent.train_initial)
 
@@ -141,10 +160,16 @@ class JAXAgent:
       report_kw = dict(
           in_shardings=(repl, repl, data_sh)) if multi else {}
       init_kw = dict(out_shardings=(data_sh, repl)) if multi else {}
+      multi_kw = dict(
+          in_shardings=(
+              repl, repl, meshlib.batch_sharded(self.mesh, leading=1),
+              data_sh),
+          out_shardings=((repl, data_sh, repl), repl)) if multi else {}
       self._jit_policy = jax.jit(
           functools.partial(self._pure_policy),
           static_argnames=('mode',))
       self._jit_train = jax.jit(self._pure_train_packed, **train_kw)
+      self._jit_train_multi = jax.jit(self._pure_train_multi, **multi_kw)
       self._jit_report = jax.jit(self._pure_report, **report_kw)
       self._jit_policy_initial = jax.jit(
           self._pure_policy_initial, static_argnums=(2,))
@@ -153,6 +178,7 @@ class JAXAgent:
     else:
       self._jit_policy = self._pure_policy
       self._jit_train = self._pure_train_packed
+      self._jit_train_multi = self._pure_train_multi
       self._jit_report = self._pure_report
       self._jit_policy_initial = self._pure_policy_initial
       self._jit_train_initial = self._pure_train_initial
@@ -284,6 +310,43 @@ class JAXAgent:
       outs = jax.device_get(outs)
     if keys is not None and 'priority' in outs:
       outs['key'] = keys
+    return outs, state, mets
+
+  def train_multi(self, datas, state=None):
+    """Run len(datas) gradient updates in ONE device dispatch.
+
+    Semantically equivalent to calling `train` once per batch (same pure
+    step, same seed stream, TBPTT state threaded through), but the K steps
+    run as a lax.scan inside a single jitted program: one host->device
+    dispatch, one metrics fetch. On latency-dominated backends this
+    multiplies learner throughput by ~K.
+
+    Returns (outs, state, metrics) where outs arrays have a leading K axis
+    (e.g. PER priorities per step) and metrics are averaged over the K
+    steps.
+    """
+    assert len(datas) >= 1
+    self._create()
+    datas = [self._filter_data(dict(d)) for d in datas]
+    keys = [d.pop('key', None) for d in datas]
+    stacked = {
+        k: np.stack([d[k] for d in datas]) for k in datas[0].keys()}
+    if state is None:
+      batch = len(next(iter(datas[0].values())))
+      state, _ = self._jit_train_initial(
+          self.varibs, self._next_seed(), batch)
+    # Drawn after the initial-state seed so the seed stream matches K
+    # sequential `train` calls exactly (tested in tests/test_agent.py).
+    seeds = np.stack([self._next_seed() for _ in datas])
+    ((outs, state, packeds), varibs) = self._jit_train_multi(
+        self.varibs, seeds, stacked, state)
+    self.varibs = varibs
+    assert self._metric_names is not None
+    mets = LazyMetrics(self._metric_names, packeds)
+    if outs:
+      outs = jax.device_get(outs)
+    if keys[0] is not None and 'priority' in outs:
+      outs['key'] = np.stack(keys)
     return outs, state, mets
 
   def report(self, data):

@@ -40,9 +40,12 @@ def replicated(mesh):
   return NamedSharding(mesh, P())
 
 
-def batch_sharded(mesh, axis='data'):
-  """Shard the leading (batch) dimension along the given mesh axis."""
-  return NamedSharding(mesh, P(axis))
+def batch_sharded(mesh, axis='data', leading=0):
+  """Shard the batch dimension along the given mesh axis.
+
+  `leading` extra dimensions (e.g. a fused-train-steps axis) before the
+  batch dimension stay unsharded."""
+  return NamedSharding(mesh, P(*([None] * leading + [axis])))
 
 
 def shard_batch(tree, mesh, axis='data'):

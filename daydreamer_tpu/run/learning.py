@@ -57,13 +57,27 @@ def learning(agent, train_replay, eval_replay, logger, args):
 
   print('Start loop...')
   batch = None
+  fused = max(1, int(getattr(args, 'train_fused', 1)))
   while step < args.steps:
-    batch = next(dataset_train)
-    outs, state, mets = agent.train(batch, state)
-    metrics.append(mets)
-    if 'priority' in outs:
-      train_replay.prioritize(outs['key'], outs['priority'])
-    step.increment()
+    if fused > 1:
+      # Fused path: K gradient updates per device dispatch (the learner
+      # has no per-step host work besides replay sampling, so batching
+      # dispatches multiplies throughput on latency-bound backends).
+      batches = [next(dataset_train) for _ in range(fused)]
+      batch = batches[-1]
+      outs, state, mets = agent.train_multi(batches, state)
+      metrics.append(mets)
+      if 'priority' in outs:
+        for i in range(fused):
+          train_replay.prioritize(outs['key'][i], outs['priority'][i])
+      step.increment(fused)
+    else:
+      batch = next(dataset_train)
+      outs, state, mets = agent.train(batch, state)
+      metrics.append(mets)
+      if 'priority' in outs:
+        train_replay.prioritize(outs['key'], outs['priority'])
+      step.increment()
 
     if should_log(step):
       with warnings.catch_warnings():

@@ -88,9 +88,24 @@ def train(agent, env, replay, logger, args):
   metrics = []  # Possibly-lazy metric dicts; materialized at log time.
   batch = [None]
 
+  fused = max(1, int(getattr(args, 'train_fused', 1)))
+
   def train_step(tran, worker):
     if should_train(step):
-      for _ in range(args.train_steps):
+      if fused > 1 and args.train_steps >= fused:
+        # Fused path: K gradient updates per device dispatch.
+        for _ in range(int(args.train_steps) // fused):
+          batches = [next(dataset) for _ in range(fused)]
+          batch[0] = batches[-1]
+          outs, state[0], mets = agent.train_multi(batches, state[0])
+          metrics.append(mets)
+          if 'priority' in outs:
+            for i in range(fused):
+              replay.prioritize(outs['key'][i], outs['priority'][i])
+        remainder = int(args.train_steps) % fused
+      else:
+        remainder = int(args.train_steps)
+      for _ in range(remainder):
         batch[0] = next(dataset)
         outs, state[0], mets = agent.train(batch[0], state[0])
         metrics.append(mets)

@@ -2,6 +2,7 @@
 shrunken TEST_CONFIG regression setup (reference:
 embodied/agents/dreamerv2plus/tests.py:26-53)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -146,4 +147,59 @@ def test_eager_mode_matches_jit():
   data = make_batch(env, config, T=6)
   outs, state, mets = agent.train(data)
   assert np.isfinite(mets['model_loss_mean'])
+  env.close()
+
+
+def test_train_multi_matches_sequential():
+  """Fused K-step train (one dispatch, lax.scan over the train step) must
+  reproduce K sequential `train` calls exactly: same seed stream, same
+  final agent state, same per-step metrics."""
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_discrete', batch_size=4,
+                       replay_chunk=6, imag_horizon=2)
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  np.random.seed(0)
+  data1 = make_batch(env, config, T=6)
+  np.random.seed(1)
+  data2 = make_batch(env, config, T=6)
+
+  seq = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  state = None
+  seq_mets = []
+  for data in (data1, data2):
+    _, state, mets = seq.train(data, state)
+    seq_mets.append(dict(mets))
+
+  fused = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  outs, fstate, fmets = fused.train_multi([data1, data2])
+
+  # Same final TBPTT carry and same trained parameters.
+  for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(fstate)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+  for key in seq.varibs:
+    np.testing.assert_allclose(
+        np.asarray(seq.varibs[key]), np.asarray(fused.varibs[key]),
+        atol=1e-5, err_msg=key)
+  # Fused metrics are the mean over the K steps.
+  want = np.mean([m['model_loss_mean'] for m in seq_mets])
+  assert abs(float(fmets['model_loss_mean']) - want) < 1e-4
+  env.close()
+
+
+def test_train_multi_per_priorities():
+  """PER priorities come back with a leading K axis and per-step keys."""
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_discrete', batch_size=4,
+                       replay_chunk=6, imag_horizon=2, replay='prio')
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  datas = []
+  for i in range(2):
+    data = make_batch(env, config, T=6)
+    data['key'] = np.arange(8, dtype=np.int64).reshape(4, 2) + i
+    data['prob'] = np.full((4, 6), 0.5, np.float32)
+    datas.append(data)
+  outs, state, mets = agent.train_multi(datas)
+  assert outs['priority'].shape[0] == 2
+  assert outs['key'].shape == (2, 4, 2)
   env.close()
