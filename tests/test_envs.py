@@ -134,3 +134,64 @@ class TestMuJoCoEnvs:
     obs = rollout(env, steps=5)
     assert obs['image'].shape == (1, 64, 64, 3)
     env.close()
+
+
+class TestMinecraftControls:
+  """The MineRL adapter's control shaping and task tables, minerl-free
+  (reference: embodied/envs/minecraft.py:160-180, minerl_internal.py)."""
+
+  def test_action_tables(self):
+    from daydreamer_tpu.envs import minerl_tasks as mt
+    for task in ('wood', 'table', 'axe', 'diamond', 'discover'):
+      table = mt.full_actions(task)
+      assert 'attack' in table and 'jump' in table
+      for action in table.values():
+        assert set(action) == set(mt.NOOP)
+    assert 'craft_wooden_axe' in mt.full_actions('axe')
+    assert 'smelt_iron_ingot' in mt.full_actions('diamond')
+    assert len(mt.full_actions('discover')) > len(mt.full_actions('diamond'))
+    # Reward schedules end on the target item with the largest payout.
+    for task, info in mt.REWARDS.items():
+      items, rewards = zip(*info['schedule'])
+      assert items[-1] == info['target']
+      assert rewards[-1] == max(rewards)
+
+  def test_sticky_attack_suppresses_jump(self):
+    from daydreamer_tpu.envs.minecraft import ActionSmoother
+    from daydreamer_tpu.envs import minerl_tasks as mt
+    smoother = ActionSmoother(sticky_attack=3, sticky_jump=2)
+    attack = dict(mt.NOOP, attack=1)
+    jump = dict(mt.NOOP, jump=1)
+    out = smoother(attack)
+    assert out['attack'] == 1
+    out = smoother(jump)  # Attack still sticky: jump suppressed.
+    assert out['attack'] == 1 and out['jump'] == 0
+    out = smoother(dict(mt.NOOP))
+    assert out['attack'] == 1  # Third sticky step.
+    out = smoother(dict(mt.NOOP))
+    assert out['attack'] == 0
+
+  def test_sticky_jump_holds_forward(self):
+    from daydreamer_tpu.envs.minecraft import ActionSmoother
+    from daydreamer_tpu.envs import minerl_tasks as mt
+    smoother = ActionSmoother(sticky_attack=0, sticky_jump=2)
+    out = smoother(dict(mt.NOOP, jump=1))
+    assert out['jump'] == 1 and out['forward'] == 1
+    out = smoother(dict(mt.NOOP))
+    assert out['jump'] == 1 and out['forward'] == 1
+    out = smoother(dict(mt.NOOP))
+    assert out['jump'] == 0 and out['forward'] == 0
+
+  def test_pitch_clamp(self):
+    from daydreamer_tpu.envs.minecraft import ActionSmoother
+    from daydreamer_tpu.envs import minerl_tasks as mt
+    smoother = ActionSmoother(
+        sticky_attack=0, sticky_jump=0, pitch_limit=(-30, 30))
+    up = dict(mt.NOOP, camera=(-15, 0))
+    assert smoother(up)['camera'] == (-15, 0)
+    assert smoother(up)['camera'] == (-15, 0)
+    # At -30 now: further up is clamped, yaw preserved.
+    out = smoother(dict(mt.NOOP, camera=(-15, 5)))
+    assert out['camera'] == (0, 5)
+    # Down is still allowed.
+    assert smoother(dict(mt.NOOP, camera=(15, 0)))['camera'] == (15, 0)
