@@ -54,16 +54,20 @@ def main():
   import jax
 
   # Fused learner path (the default for run=learning): K gradient updates
-  # run as a lax.scan inside ONE jitted dispatch, so per-dispatch RPC
-  # latency (which dominates small-model steps on the shared/tunneled
-  # backend: ~17ms/call when congested) is amortized K-fold. This is the
-  # same agent.train_multi the learning run mode uses.
+  # run as a lax.scan inside ONE jitted dispatch (amortizing per-dispatch
+  # RPC latency on the shared/tunneled backend), fed by agent.device_feed
+  # which stacks and uploads the next K batches while the current group
+  # trains. This is exactly the run=learning hot loop.
   K = 16
-  datas = [data] * K
+
+  def batches():
+    while True:
+      yield data
+  feed = agent.device_feed(batches(), K)
 
   # Warmup: creation + compile of the fused program.
   start = time.time()
-  outs, state, mets = agent.train_multi(datas)
+  outs, state, mets = agent.train_multi(next(feed))
   _ = mets['model_loss_mean']
   compile_time = time.time() - start
 
@@ -73,14 +77,14 @@ def main():
   best = 0.0
   deadline = time.time() + 300.0
   for window in range(60):
-    calls = 4
+    calls = 8
     start = time.time()
     for _ in range(calls):
-      outs, state, mets = agent.train_multi(datas, state)
+      outs, state, mets = agent.train_multi(next(feed), state)
     jax.block_until_ready(state)
     duration = time.time() - start
     best = max(best, calls * K / duration)
-    if time.time() > deadline or best > 40 * BASELINE_UPDATES_PER_S:
+    if time.time() > deadline or best > 400 * BASELINE_UPDATES_PER_S:
       break
     if duration > 2.0:
       time.sleep(2.0)  # Congested window; give the backend air.
@@ -89,7 +93,7 @@ def main():
   # Synchronous latency per fused call (metrics fetched each call).
   start = time.time()
   for _ in range(5):
-    outs, state, mets = agent.train_multi(datas, state)
+    outs, state, mets = agent.train_multi(next(feed), state)
     _ = mets['model_loss_mean']
   sync_latency = (time.time() - start) / 5 / K
 

@@ -15,6 +15,7 @@ embodied/agents/dreamerv2plus/tfagent.py:14-178). Key differences:
   (reference: tfutils.py:116-131).
 """
 
+import collections
 import functools
 
 import numpy as np
@@ -24,6 +25,12 @@ import jax.numpy as jnp
 
 from ... import nn
 from ...parallel import mesh as meshlib
+
+
+# A group of `steps` training batches already stacked along a leading axis
+# and (usually) resident on device: the payload of the fused train path.
+# `keys` holds the per-step host-side PER keys (or None).
+Prestacked = collections.namedtuple('Prestacked', 'data keys steps')
 
 
 class LazyMetrics(dict):
@@ -325,19 +332,23 @@ class JAXAgent:
     (e.g. PER priorities per step) and metrics are averaged over the K
     steps.
     """
-    assert len(datas) >= 1
     self._create()
-    datas = [self._filter_data(dict(d)) for d in datas]
-    keys = [d.pop('key', None) for d in datas]
-    stacked = {
-        k: np.stack([d[k] for d in datas]) for k in datas[0].keys()}
+    if isinstance(datas, Prestacked):
+      stacked, keys, steps = datas
+    else:
+      assert len(datas) >= 1
+      datas = [self._filter_data(dict(d)) for d in datas]
+      keys = [d.pop('key', None) for d in datas]
+      stacked = {
+          k: np.stack([d[k] for d in datas]) for k in datas[0].keys()}
+      steps = len(datas)
     if state is None:
-      batch = len(next(iter(datas[0].values())))
+      batch = next(iter(stacked.values())).shape[1]
       state, _ = self._jit_train_initial(
           self.varibs, self._next_seed(), batch)
     # Drawn after the initial-state seed so the seed stream matches K
     # sequential `train` calls exactly (tested in tests/test_agent.py).
-    seeds = np.stack([self._next_seed() for _ in datas])
+    seeds = np.stack([self._next_seed() for _ in range(steps)])
     ((outs, state, packeds), varibs) = self._jit_train_multi(
         self.varibs, seeds, stacked, state)
     self.varibs = varibs
@@ -345,9 +356,48 @@ class JAXAgent:
     mets = LazyMetrics(self._metric_names, packeds)
     if outs:
       outs = jax.device_get(outs)
-    if keys[0] is not None and 'priority' in outs:
+    if keys and keys[0] is not None and 'priority' in outs:
       outs['key'] = np.stack(keys)
     return outs, state, mets
+
+  def device_feed(self, source, steps):
+    """Iterator of Prestacked groups for `train_multi`, one group ahead.
+
+    Pulls `steps` batches from `source`, stacks them along a leading axis
+    (GIL-released C++ gather), and starts their host->device transfer one
+    group before the consumer needs it: jax dispatch is asynchronous, so
+    the stack+upload of group N+1 runs while the device still trains on
+    group N (reference capability: tf.data prefetch-to-device,
+    agent.py:108-121; here the transfer is the explicit pipeline stage
+    because the TPU link, not sampling, is the learner-side cost).
+    Deliberately single-threaded: a background producer thread starves
+    under the learner thread's GIL pressure on congested backends, while
+    inline production simply fills the device-compute gap.
+    """
+    self._create()
+    sharding = None
+    if len(self.mesh.devices.flat) > 1:
+      sharding = meshlib.batch_sharded(self.mesh, leading=1)
+    from ...replay.batcher import native_stack
+    it = iter(source)
+
+    def produce():
+      datas = [self._filter_data(dict(next(it))) for _ in range(steps)]
+      keys = [d.pop('key', None) for d in datas]
+      stacked = native_stack(datas)
+      if sharding is not None:
+        stacked = jax.device_put(stacked, sharding)
+      else:
+        stacked = jax.device_put(stacked)
+      return Prestacked(stacked, keys, steps)
+
+    def groups():
+      while True:
+        # Produced on demand: the consumer's previous group is still
+        # training (async dispatch), so stack+upload overlap with it.
+        yield produce()
+
+    return groups()
 
   def report(self, data):
     self._create()

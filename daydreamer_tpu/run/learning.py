@@ -57,15 +57,19 @@ def learning(agent, train_replay, eval_replay, logger, args):
 
   print('Start loop...')
   batch = None
+  feed = None
   fused = max(1, int(getattr(args, 'train_fused', 1)))
   while step < args.steps:
     if fused > 1:
       # Fused path: K gradient updates per device dispatch (the learner
       # has no per-step host work besides replay sampling, so batching
-      # dispatches multiplies throughput on latency-bound backends).
-      batches = [next(dataset_train) for _ in range(fused)]
-      batch = batches[-1]
-      outs, state, mets = agent.train_multi(batches, state)
+      # dispatches multiplies throughput on latency-bound backends), fed
+      # by a double-buffered host->device prefetch so the learner never
+      # waits on the transfer either.
+      if feed is None:
+        feed = agent.device_feed(dataset_train, fused)
+      group = next(feed)
+      outs, state, mets = agent.train_multi(group, state)
       metrics.append(mets)
       if 'priority' in outs:
         for i in range(fused):
@@ -90,6 +94,10 @@ def learning(agent, train_replay, eval_replay, logger, args):
             k: np.nanmean(x, dtype=np.float64) for k, x in lists.items()}
         logger.add(agg, prefix='train')
         metrics.clear()
+      if feed is not None or batch is None:
+        # Fused path: train batches live on device only; sample a fresh
+        # host batch for the report.
+        batch = next(dataset_train)
       logger.add(agent.report(batch), prefix='report')
       if dataset_eval:
         logger.add(agent.report(next(dataset_eval)), prefix='report_eval')

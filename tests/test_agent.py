@@ -203,3 +203,41 @@ def test_train_multi_per_priorities():
   assert outs['priority'].shape[0] == 2
   assert outs['key'].shape == (2, 4, 2)
   env.close()
+
+
+def test_device_feed_matches_list_path():
+  """train_multi fed by device_feed (prestacked, device-resident groups)
+  must match the list-of-batches path exactly, including PER keys."""
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_discrete', batch_size=4,
+                       replay_chunk=6, imag_horizon=2, replay='prio')
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  datas = []
+  for i in range(4):
+    np.random.seed(i)
+    data = make_batch(env, config, T=6)
+    data['key'] = np.arange(8, dtype=np.int64).reshape(4, 2) + i
+    data['prob'] = np.full((4, 6), 0.5, np.float32)
+    datas.append(data)
+
+  ref = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  r_outs, r_state, r_mets = ref.train_multi(datas[:2])
+  r_outs2, r_state, _ = ref.train_multi(datas[2:], r_state)
+
+  fed = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  feed = fed.device_feed(iter(datas), 2)
+  f_outs, f_state, f_mets = fed.train_multi(next(feed))
+  f_outs2, f_state, _ = fed.train_multi(next(feed), f_state)
+
+  np.testing.assert_array_equal(r_outs['key'], f_outs['key'])
+  np.testing.assert_allclose(
+      r_outs['priority'], f_outs['priority'], atol=1e-5)
+  np.testing.assert_allclose(
+      r_outs2['priority'], f_outs2['priority'], atol=1e-5)
+  for key in ref.varibs:
+    np.testing.assert_allclose(
+        np.asarray(ref.varibs[key]), np.asarray(fed.varibs[key]),
+        atol=1e-5, err_msg=key)
+  assert abs(float(r_mets['model_loss_mean']) -
+             float(f_mets['model_loss_mean'])) < 1e-4
+  env.close()
