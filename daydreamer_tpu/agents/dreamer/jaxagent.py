@@ -141,6 +141,29 @@ class JAXAgent:
       return (outs, carry, packeds), state
 
     self._pure_train_multi = train_multi_packed
+
+    def train_device_packed(state, seeds, buffers, filled, cursor, carry):
+      # K gradient updates sampling straight from the device-resident
+      # replay ring: no per-update host->device transfer at all (the
+      # TPU-native replacement for the reference's tf.data feed; see
+      # replay/device_replay.py).
+      from ...replay import device_replay as drlib
+      B = self.config.batch_size
+      chunk = self.config.replay_chunk
+
+      def body(loop, seed):
+        varibs, carry = loop
+        key = jax.random.PRNGKey(seed)
+        skey, tkey = jax.random.split(key)
+        batch = drlib.sample((buffers, filled, cursor), skey, B, chunk)
+        (outs, carry, packed), varibs = train_packed(
+            varibs, tkey, batch, carry)
+        return (varibs, carry), packed
+
+      (state, carry), packeds = jax.lax.scan(body, (state, carry), seeds)
+      return (carry, packeds), state
+
+    self._pure_train_device = train_device_packed
     self._pure_policy_initial = nn.pure(self.agent.policy_initial)
     self._pure_train_initial = nn.pure(self.agent.train_initial)
 
@@ -175,8 +198,12 @@ class JAXAgent:
       self._jit_policy = jax.jit(
           functools.partial(self._pure_policy),
           static_argnames=('mode',))
+      device_kw = dict(
+          in_shardings=(repl, repl, repl, repl, repl, data_sh),
+          out_shardings=((data_sh, repl), repl)) if multi else {}
       self._jit_train = jax.jit(self._pure_train_packed, **train_kw)
       self._jit_train_multi = jax.jit(self._pure_train_multi, **multi_kw)
+      self._jit_train_device = jax.jit(self._pure_train_device, **device_kw)
       self._jit_report = jax.jit(self._pure_report, **report_kw)
       self._jit_policy_initial = jax.jit(
           self._pure_policy_initial, static_argnums=(2,))
@@ -186,6 +213,7 @@ class JAXAgent:
       self._jit_policy = self._pure_policy
       self._jit_train = self._pure_train_packed
       self._jit_train_multi = self._pure_train_multi
+      self._jit_train_device = self._pure_train_device
       self._jit_report = self._pure_report
       self._jit_policy_initial = self._pure_policy_initial
       self._jit_train_initial = self._pure_train_initial
@@ -398,6 +426,44 @@ class JAXAgent:
         yield produce()
 
     return groups()
+
+  def train_device(self, replay, steps, state=None):
+    """Run `steps` gradient updates sampling from a DeviceReplay.
+
+    One device dispatch: chunk sampling (uniform windows over the
+    device-resident step ring) AND the K train steps run inside a single
+    jitted program, so no training data crosses the host->device link.
+    PER is not available on this path (uniform sampling only).
+
+    Returns (outs, state, metrics) like `train`, with outs empty.
+    """
+    self._create()
+    assert replay.filled >= replay.chunk, (replay.filled, replay.chunk)
+    assert replay.chunk == self.config.replay_chunk, (
+        replay.chunk, self.config.replay_chunk)
+    if state is None:
+      state, _ = self._jit_train_initial(
+          self.varibs, self._next_seed(), self.config.batch_size)
+    seeds = np.stack([self._next_seed() for _ in range(steps)])
+    buffers, filled, cursor = replay.state
+    ((state, packeds), varibs) = self._jit_train_device(
+        self.varibs, seeds, buffers, filled, cursor, state)
+    self.varibs = varibs
+    assert self._metric_names is not None
+    mets = LazyMetrics(self._metric_names, packeds)
+    return {}, state, mets
+
+  def make_device_replay(self, capacity=None, block=None):
+    """Construct a DeviceReplay matching this agent's batch layout."""
+    from ...replay.device_replay import DeviceReplay
+    chunk = self.config.replay_chunk
+    if block is None:
+      block = min(64, chunk)  # Small blocks flush promptly at prefill.
+    if capacity is None:
+      capacity = int(self.config.replay_size)
+    capacity = max(capacity, 2 * max(chunk, block))
+    capacity = (capacity + block - 1) // block * block
+    return DeviceReplay(capacity, chunk, block=block)
 
   def report(self, data):
     self._create()

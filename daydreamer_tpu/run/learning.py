@@ -59,13 +59,33 @@ def learning(agent, train_replay, eval_replay, logger, args):
   batch = None
   feed = None
   fused = max(1, int(getattr(args, 'train_fused', 1)))
+  # Device-resident replay: when sampling is uniform (no PER feedback),
+  # mirror episodes into TPU HBM once and let the fused train program
+  # sample on-device — no per-update host->device transfer at all.
+  mirror = None
+  if (fused > 1 and getattr(args, 'device_replay', True)
+      and not hasattr(train_replay, 'prioritize')
+      and hasattr(train_replay, 'store')):
+    from ..replay.device_replay import StoreMirror
+    capacity = int(getattr(args, 'device_replay_steps', 2e5))
+    device_replay = agent.make_device_replay(capacity=capacity)
+    mirror = StoreMirror(train_replay, device_replay)
   while step < args.steps:
-    if fused > 1:
+    on_device = False
+    if mirror is not None:
+      mirror.sync()
+      on_device = device_replay.filled >= device_replay.chunk
+    if on_device:
+      # Device-resident replay: sampling AND the K updates run in one
+      # jitted dispatch; no training data crosses the host->device link.
+      outs, state, mets = agent.train_device(device_replay, fused, state)
+      metrics.append(mets)
+      step.increment(fused)
+    elif fused > 1:
       # Fused path: K gradient updates per device dispatch (the learner
       # has no per-step host work besides replay sampling, so batching
       # dispatches multiplies throughput on latency-bound backends), fed
-      # by a double-buffered host->device prefetch so the learner never
-      # waits on the transfer either.
+      # by a host->device prefetch that overlaps the in-flight group.
       if feed is None:
         feed = agent.device_feed(dataset_train, fused)
       group = next(feed)
@@ -94,9 +114,9 @@ def learning(agent, train_replay, eval_replay, logger, args):
             k: np.nanmean(x, dtype=np.float64) for k, x in lists.items()}
         logger.add(agg, prefix='train')
         metrics.clear()
-      if feed is not None or batch is None:
-        # Fused path: train batches live on device only; sample a fresh
-        # host batch for the report.
+      if feed is not None or mirror is not None or batch is None:
+        # Fused/device paths: train batches live on device only; sample a
+        # fresh host batch for the report.
         batch = next(dataset_train)
       logger.add(agent.report(batch), prefix='report')
       if dataset_eval:

@@ -1,0 +1,124 @@
+"""Device-resident replay: ring correctness, on-device sampling, mirror,
+and the fused sample+train path (replay/device_replay.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import daydreamer_tpu as ddt
+from daydreamer_tpu.envs import load_env
+from daydreamer_tpu.replay import device_replay as drlib
+
+
+def make_steps(start, n):
+  return {
+      'value': np.arange(start, start + n, dtype=np.int32),
+      'is_first': np.zeros(n, bool),
+  }
+
+
+class TestDeviceReplayRing:
+
+  def test_fill_and_sample_consecutive(self):
+    replay = drlib.DeviceReplay(capacity=64, chunk=4, block=8)
+    replay.add_steps(make_steps(0, 40))
+    assert replay.filled == 40
+    rng = jax.random.PRNGKey(0)
+    batch = jax.device_get(drlib.sample(replay.state, rng, 16, 4))
+    assert batch['value'].shape == (16, 4)
+    # Every window is consecutive and within the added range.
+    for row in batch['value']:
+      assert (np.diff(row) == 1).all(), row
+      assert 0 <= row[0] and row[-1] < 40, row
+    assert batch['is_first'][:, 0].all()
+
+  def test_partial_block_stays_staged(self):
+    replay = drlib.DeviceReplay(capacity=64, chunk=4, block=8)
+    replay.add_steps(make_steps(0, 5))
+    assert replay.filled == 0  # Less than one block: staged host-side.
+    replay.add_steps(make_steps(5, 5))
+    assert replay.filled == 8  # One block flushed, 2 staged.
+    replay.add_steps(make_steps(10, 30))
+    assert replay.filled == 40
+
+  def test_wraparound_never_crosses_seam(self):
+    replay = drlib.DeviceReplay(capacity=32, chunk=4, block=8)
+    replay.add_steps(make_steps(0, 80))  # 2.5x capacity.
+    assert replay.filled == 32
+    assert replay.cursor == 80 % 32
+    for seed in range(20):
+      rng = jax.random.PRNGKey(seed)
+      batch = jax.device_get(drlib.sample(replay.state, rng, 8, 4))
+      for row in batch['value']:
+        assert (np.diff(row) == 1).all(), row  # Consecutive: no seam.
+        assert 48 <= row[0] and row[-1] < 80, row  # Only newest 32 steps.
+
+  def test_sampling_covers_buffer(self):
+    replay = drlib.DeviceReplay(capacity=64, chunk=4, block=8)
+    replay.add_steps(make_steps(0, 64))
+    rng = jax.random.PRNGKey(1)
+    batch = jax.device_get(drlib.sample(replay.state, rng, 256, 4))
+    starts = batch['value'][:, 0]
+    # Uniform over the valid start range: decent spread expected.
+    assert len(np.unique(starts)) > 20
+
+
+class TestStoreMirror:
+
+  def test_sync_is_incremental(self):
+    from daydreamer_tpu import replay as replaylib
+    store = replaylib.RAMStore(int(1e4))
+    fixed = replaylib.FixedLength(store, chunk=4)
+    env = load_env('dummy_discrete', amount=2, parallel='none', length=10)
+    driver = ddt.Driver(env)
+    driver.on_step(fixed.add)
+    driver(ddt.RandomAgent(env.act_space).policy, steps=44)
+    device = drlib.DeviceReplay(capacity=64, chunk=4, block=8)
+    mirror = drlib.StoreMirror(fixed, device)
+    added = mirror.sync()
+    assert added > 0
+    assert device.filled > 0
+    assert mirror.sync() == 0  # No new trajectories.
+    driver(ddt.RandomAgent(env.act_space).policy, steps=22)
+    assert mirror.sync() > 0
+    # Ring rows hold the env's step keys, not log_ keys.
+    assert 'is_first' in device.buffers
+    assert not any(k.startswith('log_') for k in device.buffers)
+    env.close()
+
+
+class TestTrainDevice:
+
+  def test_train_device_runs_and_is_deterministic(self):
+    from daydreamer_tpu.agents.dreamer import Agent
+    from tests.test_agent import make_config
+    config = make_config(task='dummy_discrete', batch_size=4,
+                         replay_chunk=6, imag_horizon=2)
+    env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+
+    def build_replay(agent):
+      from daydreamer_tpu import replay as replaylib
+      store = replaylib.RAMStore(int(1e4))
+      fixed = replaylib.FixedLength(store, chunk=6)
+      driver = ddt.Driver(env)
+      driver.on_step(fixed.add)
+      driver(ddt.RandomAgent(env.act_space).policy, steps=40)
+      device = agent.make_device_replay(capacity=128, block=8)
+      drlib.StoreMirror(fixed, device).sync()
+      return device
+
+    results = []
+    for _ in range(2):
+      np.random.seed(0)  # RandomAgent prefill must match across builds.
+      agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+      device = build_replay(agent)
+      assert device.filled >= device.chunk
+      outs, state, mets = agent.train_device(device, steps=3)
+      assert np.isfinite(mets['model_loss_mean'])
+      results.append({k: np.asarray(v) for k, v in agent.varibs.items()})
+    for key in results[0]:
+      np.testing.assert_allclose(
+          results[0][key], results[1][key], atol=1e-5, err_msg=key)
+    env.close()

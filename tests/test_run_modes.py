@@ -113,3 +113,33 @@ def test_learning_fused(tmp_path):
   assert int(step) >= 4
   assert (tmp_path / 'agent.pkl').exists()
   env.close()
+
+
+@pytest.mark.slow
+def test_learning_device_replay(tmp_path):
+  """run=learning with the device-resident replay path: episodes are
+  mirrored into the device ring and the learner trains without host
+  batches (uniform sampler, no PER)."""
+  config, env, agent, step, logger = build(tmp_path)
+  store = replaylib.RAMStore(int(1e5))
+  train_replay = replaylib.Stats(store)
+  driver = ddt.Driver(env)
+  fixed = replaylib.FixedLength(train_replay, chunk=config.replay_chunk)
+  driver.on_step(fixed.add)
+  driver(ddt.RandomAgent(env.act_space).policy, steps=40)
+  eval_replay = replaylib.FixedLength(
+      replaylib.RAMStore(int(1e5)), chunk=config.replay_chunk)
+  eval_driver = ddt.Driver(env)
+  eval_driver.on_step(eval_replay.add)
+  eval_driver(ddt.RandomAgent(env.act_space).policy, steps=25)
+  args = ddt.Config(
+      logdir=str(tmp_path), **config.train,
+      batch_size=config.batch_size,
+      replay_chunk=config.replay_chunk).update(
+      steps=4, train_fill=20, sync_every=300, log_every=300,
+      eval_every=300, eval_samples=1, train_fused=2,
+      device_replay=True, device_replay_steps=200)
+  runlib.learning(agent, fixed, eval_replay, logger, args)
+  assert int(step) >= 4
+  assert (tmp_path / 'agent.pkl').exists()
+  env.close()
