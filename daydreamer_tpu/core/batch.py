@@ -1,9 +1,10 @@
-"""Batch N single envs behind a dict-of-batched-arrays API.
+"""Present N single environments as one batched environment.
 
-Parity with the reference batcher (reference: embodied/core/batch.py:6-45).
-With ``parallel=True`` the child env step() calls return promises (see
-core/parallel.py) which are resolved after all envs were dispatched, so env
-processes step concurrently.
+Capability parity with the reference batched env (embodied/core/batch.py).
+The batched API is dict-of-arrays with a leading lane axis. When the child
+envs live in worker processes (``parallel=True``), their ``step`` calls
+return promises; all lanes are dispatched before any promise is awaited, so
+the envs run concurrently.
 """
 
 import numpy as np
@@ -11,14 +12,30 @@ import numpy as np
 from . import base
 
 
+def _lane(action, index):
+  """Select one lane from a batched action dict."""
+  return {name: batch[index] for name, batch in action.items()}
+
+
+def _collate(transitions):
+  """Stack a list of per-lane transition dicts into one batched dict."""
+  names = transitions[0].keys()
+  return {name: np.stack([t[name] for t in transitions]) for name in names}
+
+
 class BatchEnv(base.Env):
 
   def __init__(self, envs, parallel):
-    assert all(len(env) == 0 for env in envs)
-    assert len(envs) > 0
-    self._envs = envs
+    if not envs:
+      raise ValueError('BatchEnv needs at least one environment.')
+    for env in envs:
+      if len(env):
+        raise ValueError('BatchEnv lanes must be single (unbatched) envs.')
+    self._envs = list(envs)
     self._parallel = parallel
-    self._keys = list(self.obs_space.keys())
+
+  def __len__(self):
+    return len(self._envs)
 
   @property
   def obs_space(self):
@@ -28,19 +45,17 @@ class BatchEnv(base.Env):
   def act_space(self):
     return self._envs[0].act_space
 
-  def __len__(self):
-    return len(self._envs)
-
   def step(self, action):
-    assert all(len(v) == len(self._envs) for v in action.values()), (
-        len(self._envs), {k: v.shape for k, v in action.items()})
-    obs = []
-    for i, env in enumerate(self._envs):
-      act = {k: v[i] for k, v in action.items()}
-      obs.append(env.step(act))
+    lanes = len(self._envs)
+    for name, batch in action.items():
+      if len(batch) != lanes:
+        raise ValueError(
+            f'Action {name!r} has {len(batch)} lanes, expected {lanes}.')
+    pending = [env.step(_lane(action, i)) for i, env in enumerate(self._envs)]
     if self._parallel:
-      obs = [ob() for ob in obs]
-    return {k: np.stack([ob[k] for ob in obs]) for k in obs[0]}
+      # Resolve promises only after every lane was dispatched.
+      pending = [promise() for promise in pending]
+    return _collate(pending)
 
   def render(self):
     return np.stack([env.render() for env in self._envs])

@@ -1,37 +1,141 @@
-"""Immutable nested configuration with dotted access and regex updates.
+"""Immutable, typed, nested configuration.
 
-Parity with the reference config system (reference: embodied/core/config.py:7-189):
-nested dicts flatten to dotted keys, ``update()`` is type-checked with
-old->new coercion, and update keys may be regex patterns such as
-``.*\\.lr`` that fan out over all matching flat keys. YAML/JSON round-trip
-via save/load.
+Capability parity with the reference config system (embodied/core/config.py):
+nested dicts are addressable by dotted keys, ``update()`` type-checks new
+values against the old ones (with numeric coercion), and update keys may be
+regular expressions (e.g. ``.*\\.lr``) that fan out over every matching leaf.
+Configs round-trip through YAML and JSON.
+
+Internally a Config is a flat ``{dotted_key: leaf}`` table; the nested dict
+view (the ``dict`` base class content) is derived from it, not the other way
+around.
 """
 
 import json
 import re
 
-import numpy as np
+
+SEP = '.'
+
+# Characters allowed in literal (non-pattern) key components.
+_LITERAL = re.compile(r'[A-Za-z0-9_.-]+')
+
+
+def is_pattern(key):
+  """A key is a regex pattern iff it uses characters outside the literal set."""
+  return _LITERAL.fullmatch(key) is None
+
+
+def leaves(mapping, trail=()):
+  """Yield (path_tuple, value) for every leaf of a nested mapping.
+
+  Components are kept verbatim (they may themselves contain dots or regex
+  syntax); callers join them with SEP to form dotted keys.
+  """
+  for name, value in mapping.items():
+    path = trail + (name,)
+    if isinstance(value, dict):
+      yield from leaves(value, path)
+    else:
+      yield path, value
+
+
+def treeify(flat):
+  """Invert a flat {dotted_key: leaf} table into a nested dict."""
+  tree = {}
+  for dotted, value in flat.items():
+    *branch, leaf = dotted.split(SEP)
+    node = tree
+    for name in branch:
+      node = node.setdefault(name, {})
+    node[leaf] = value
+  return tree
+
+
+def _check_leaf(dotted, value):
+  """Normalize one leaf: tuples for sequences, homogeneous primitive types."""
+  if isinstance(value, (list, tuple)):
+    items = tuple(value)
+    if not items:
+      raise TypeError(
+          f"Key '{dotted}': empty sequences are not allowed because their "
+          'element type would be ambiguous.')
+    kind = type(items[0])
+    if kind not in (str, float, int, bool):
+      raise TypeError(
+          f"Key '{dotted}': sequence elements must be primitives, "
+          f'got {kind.__name__}.')
+    if any(not isinstance(item, kind) for item in items):
+      raise TypeError(f"Key '{dotted}': mixed-type sequences are not allowed.")
+    return items
+  if value is not None and not isinstance(value, (str, float, int, bool)):
+    raise TypeError(
+        f"Key '{dotted}': unsupported leaf type {type(value).__name__}.")
+  return value
+
+
+def _coerce(dotted, old, new):
+  """Convert `new` to the type of `old`, rejecting lossy conversions."""
+  try:
+    if isinstance(old, bool) and isinstance(new, str):
+      if new not in ('True', 'False'):
+        raise ValueError(new)
+      return new == 'True'
+    if isinstance(old, int) and not isinstance(old, bool):
+      as_float = float(new)
+      if as_float != int(as_float):
+        raise ValueError(f'fractional value {new}')
+      return int(as_float)
+    if isinstance(old, (list, tuple)):
+      items = new if isinstance(new, (list, tuple)) else (new,)
+      proto = old[0] if len(old) else ''
+      return tuple(_coerce(dotted, proto, item) for item in items)
+    return type(old)(new)
+  except (TypeError, ValueError) as e:
+    raise TypeError(
+        f"Key '{dotted}': cannot convert {new!r} to "
+        f'{type(old).__name__} (current value {old!r}): {e}')
 
 
 class Config(dict):
 
-  SEP = '.'
+  # Kept as an attribute for backwards compatibility with callers that
+  # probe `config.IS_PATTERN`.
   IS_PATTERN = re.compile(r'.*[^A-Za-z0-9_.-].*')
+  SEP = SEP
 
   def __init__(self, *args, **kwargs):
-    mapping = dict(*args, **kwargs)
-    mapping = self._flatten(mapping)
-    mapping = self._ensure_keys(mapping)
-    mapping = self._ensure_values(mapping)
-    self._flat = mapping
-    self._nested = self._nest(mapping)
-    # Need to assign the values to the base class dictionary so that
-    # conversion to dict does not lose the content.
-    super().__init__(self._nested)
+    flat = {}
+    for path, value in leaves(dict(*args, **kwargs)):
+      dotted = SEP.join(path)
+      if is_pattern(dotted):
+        raise ValueError(f'Pattern keys are only allowed in update(): {dotted}')
+      flat[dotted] = _check_leaf(dotted, value)
+    object.__setattr__(self, '_leaves', flat)
+    super().__init__(treeify(flat))
 
   @property
   def flat(self):
-    return dict(self._flat)
+    return dict(self._leaves)
+
+  def update(self, *args, **kwargs):
+    table = dict(self._leaves)
+    for path, value in leaves(dict(*args, **kwargs)):
+      dotted = SEP.join(path)
+      if is_pattern(dotted):
+        # Literal components joined to a pattern are escaped, so a pattern
+        # nested under a plain branch only matches inside that branch.
+        source = r'\.'.join(
+            part if is_pattern(part) else re.escape(part) for part in path)
+        regex = re.compile(source)
+        targets = [k for k in table if regex.fullmatch(k)]
+      else:
+        targets = [dotted] if dotted in table else []
+      if not targets:
+        raise KeyError(f'Unknown key or pattern {dotted}.')
+      for target in targets:
+        table[target] = _coerce(target, table[target], value)
+    return type(self)(table)
 
   def save(self, filename):
     from . import path as pathlib
@@ -51,18 +155,26 @@ class Config(dict):
     filename = pathlib.Path(filename)
     if filename.suffix == '.json':
       return cls(json.loads(filename.read_text()))
-    elif filename.suffix in ('.yml', '.yaml'):
+    if filename.suffix in ('.yml', '.yaml'):
       import ruamel.yaml as yaml
       return cls(yaml.YAML(typ='safe').load(filename.read_text()))
-    else:
-      raise NotImplementedError(filename.suffix)
+    raise NotImplementedError(filename.suffix)
 
-  def __contains__(self, name):
-    try:
-      self[name]
-      return True
-    except KeyError:
-      return False
+  # --- Read access -------------------------------------------------------
+
+  def __getitem__(self, dotted):
+    node = dict.__getitem__  # Bypass our own lookup for raw dict access.
+    value = self
+    for name in dotted.split(SEP):
+      if not isinstance(value, dict):
+        raise KeyError(dotted)
+      try:
+        value = node(value, name)
+      except KeyError:
+        raise KeyError(dotted)
+    if isinstance(value, dict):
+      return type(self)(value)
+    return value
 
   def __getattr__(self, name):
     if name.startswith('_'):
@@ -72,131 +184,51 @@ class Config(dict):
     except KeyError:
       raise AttributeError(name)
 
-  def __getitem__(self, name):
-    result = self._nested
-    for part in name.split(self.SEP):
-      try:
-        result = result[part]
-      except TypeError:
-        raise KeyError(name)
-    if isinstance(result, dict):
-      result = type(self)(result)
-    return result
+  def __contains__(self, dotted):
+    try:
+      self[dotted]
+      return True
+    except KeyError:
+      return False
 
-  def __setattr__(self, key, value):
-    if key.startswith('_'):
-      return super().__setattr__(key, value)
-    message = f"Tried to set key '{key}' on immutable config. Use update()."
-    raise AttributeError(message)
+  # --- Immutability ------------------------------------------------------
 
-  def __setitem__(self, key, value):
-    if key.startswith('_'):
-      return super().__setitem__(key, value)
-    message = f"Tried to set key '{key}' on immutable config. Use update()."
-    raise AttributeError(message)
+  def __setattr__(self, name, value):
+    if name.startswith('_'):
+      return object.__setattr__(self, name, value)
+    raise AttributeError(
+        f'Config is immutable; use update() to change {name!r}.')
+
+  def __setitem__(self, name, value):
+    raise AttributeError(
+        f'Config is immutable; use update() to change {name!r}.')
+
+  # --- Misc protocols ----------------------------------------------------
 
   def __reduce__(self):
     return (type(self), (dict(self),))
 
   def __str__(self):
+    rows = [
+        (dotted + ':', _pretty(value), _typename(value))
+        for dotted, value in self._leaves.items()]
+    if not rows:
+      return '\nConfig: (empty)'
+    kwidth = max(len(r[0]) for r in rows)
+    vwidth = max(len(r[1]) for r in rows)
     lines = ['\nConfig:']
-    keys, vals, typs = [], [], []
-    for key, val in self.flat.items():
-      keys.append(key + ':')
-      vals.append(self._format_value(val))
-      typs.append(self._format_type(val))
-    max_key = max(len(k) for k in keys) if keys else 0
-    max_val = max(len(v) for v in vals) if vals else 0
-    for key, val, typ in zip(keys, vals, typs):
-      key = key.ljust(max_key)
-      val = val.ljust(max_val)
-      lines.append(f'{key}  {val}  ({typ})')
+    for key, value, kind in rows:
+      lines.append(f'{key:<{kwidth}}  {value:<{vwidth}}  ({kind})')
     return '\n'.join(lines)
 
-  def update(self, *args, **kwargs):
-    result = self._flat.copy()
-    inputs = self._flatten(dict(*args, **kwargs))
-    for key, new in inputs.items():
-      if self.IS_PATTERN.match(key):
-        pattern = re.compile(key)
-        keys = {k for k in result if pattern.fullmatch(k)}
-      elif key in result:
-        keys = [key]
-      else:
-        keys = []
-      if not keys:
-        raise KeyError(f'Unknown key or pattern {key}.')
-      for key in keys:
-        old = result[key]
-        try:
-          if isinstance(old, int) and isinstance(new, float):
-            if float(int(new)) != new:
-              message = f"Cannot convert fractional float {new} to int."
-              raise ValueError(message)
-          result[key] = type(old)(new)
-        except (ValueError, TypeError):
-          raise TypeError(
-              f"Cannot convert '{new}' to type '{type(old).__name__}' " +
-              f"of value '{old}' for key '{key}'.")
-    return type(self)(result)
 
-  def _flatten(self, mapping):
-    result = {}
-    for key, value in mapping.items():
-      if isinstance(value, dict):
-        for k, v in self._flatten(value).items():
-          if self.IS_PATTERN.match(key) or self.IS_PATTERN.match(k):
-            combined = f'{key}\\{self.SEP}{k}'
-          else:
-            combined = f'{key}{self.SEP}{k}'
-          result[combined] = v
-      else:
-        result[key] = value
-    return result
+def _pretty(value):
+  if isinstance(value, (list, tuple)):
+    return '[' + ', '.join(_pretty(item) for item in value) + ']'
+  return str(value)
 
-  def _nest(self, mapping):
-    result = {}
-    for key, value in mapping.items():
-      parts = key.split(self.SEP)
-      node = result
-      for part in parts[:-1]:
-        if part not in node:
-          node[part] = {}
-        node = node[part]
-      node[parts[-1]] = value
-    return result
 
-  def _ensure_keys(self, mapping):
-    for key in mapping:
-      assert not self.IS_PATTERN.match(key), key
-    return mapping
-
-  def _ensure_values(self, mapping):
-    result = json.loads(json.dumps(mapping))
-    for key, value in result.items():
-      if isinstance(value, list):
-        value = tuple(value)
-      if isinstance(value, tuple):
-        if len(value) == 0:
-          message = 'Empty lists are disallowed because their type is unclear.'
-          raise TypeError(message)
-        if not isinstance(value[0], (str, float, int, bool)):
-          message = 'Lists can only contain strings, floats, ints, bools'
-          message += f' but not {type(value[0])}'
-          raise TypeError(message)
-        if not all(isinstance(x, type(value[0])) for x in value[1:]):
-          message = 'Elements of a list must all be of the same type.'
-          raise TypeError(message)
-      result[key] = value
-    return result
-
-  def _format_value(self, value):
-    if isinstance(value, (list, tuple)):
-      return '[' + ', '.join(self._format_value(x) for x in value) + ']'
-    return str(value)
-
-  def _format_type(self, value):
-    if isinstance(value, (list, tuple)):
-      assert len(value) > 0, value
-      return self._format_type(value[0]) + 's'
-    return str(type(value).__name__)
+def _typename(value):
+  if isinstance(value, (list, tuple)):
+    return _typename(value[0]) + 's'
+  return type(value).__name__

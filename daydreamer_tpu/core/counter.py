@@ -1,34 +1,45 @@
-"""Int-like mutable step counter (reference: embodied/core/counter.py:5-44)."""
+"""Mutable step counter that behaves like an int in comparisons/arithmetic.
+
+Capability parity with the reference counter (embodied/core/counter.py); the
+comparison operators are derived via functools.total_ordering.
+"""
+
+import functools
 
 
+@functools.total_ordering
 class Counter:
 
-  def __init__(self, initial=0):
-    self.value = initial
+  __slots__ = ('value',)
 
-  def __repr__(self):
-    return f'Counter({self.value})'
+  def __init__(self, start=0):
+    self.value = int(start)
+
+  def increment(self, amount=1):
+    self.value += amount
+
+  def save(self):
+    return self.value
+
+  def load(self, value):
+    self.value = value
 
   def __int__(self):
     return int(self.value)
 
+  __index__ = __int__
+
+  def __repr__(self):
+    return f'Counter({self.value})'
+
   def __eq__(self, other):
     return int(self) == other
-
-  def __ne__(self, other):
-    return int(self) != other
 
   def __lt__(self, other):
     return int(self) < other
 
-  def __le__(self, other):
-    return int(self) <= other
-
-  def __gt__(self, other):
-    return int(self) > other
-
-  def __ge__(self, other):
-    return int(self) >= other
+  def __hash__(self):
+    return hash(int(self))
 
   def __add__(self, other):
     return int(self) + other
@@ -41,15 +52,3 @@ class Counter:
 
   def __mod__(self, other):
     return int(self) % other
-
-  def __hash__(self):
-    return hash(int(self))
-
-  def increment(self, amount=1):
-    self.value += amount
-
-  def save(self):
-    return self.value
-
-  def load(self, value):
-    self.value = value

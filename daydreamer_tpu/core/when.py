@@ -1,69 +1,80 @@
-"""Schedule predicates (reference: embodied/core/when.py:4-67)."""
+"""Schedule predicates used by the run loops.
+
+Capability parity with the reference schedules (embodied/core/when.py):
+``Every`` fires on a step period, ``Once`` fires a single time, ``Until``
+holds while below a step limit, and ``Clock`` fires on a wall-time period.
+A falsy period disables ``Every``/``Clock`` entirely and makes ``Until``
+always true.
+"""
 
 import time
 
 
 class Every:
+  """True once per `period` steps, starting with the first call."""
 
-  def __init__(self, every):
-    self._every = every
-    self._last = None
+  def __init__(self, period):
+    self.period = period
+    self.due_at = None
 
   def __call__(self, step):
-    step = int(step)
-    if not self._every:
+    if not self.period:
       return False
-    if self._last is None:
-      self._last = step
+    step = int(step)
+    if self.due_at is None:
+      self.due_at = step + self.period
       return True
-    if step >= self._last + self._every:
-      self._last += self._every
-      return True
-    return False
+    if step < self.due_at:
+      return False
+    self.due_at += self.period
+    return True
 
 
 class Once:
+  """True on the first call only."""
 
   def __init__(self):
-    self._once = True
+    self.fired = False
 
   def __call__(self):
-    if self._once:
-      self._once = False
-      return True
-    return False
+    fired, self.fired = self.fired, True
+    return not fired
 
 
 class Until:
+  """True while the step count is below the limit (or no limit is set)."""
 
-  def __init__(self, until):
-    self._until = until
+  def __init__(self, limit):
+    self.limit = limit
 
   def __call__(self, step):
-    step = int(step)
-    if not self._until:
+    if not self.limit:
       return True
-    return step < self._until
+    return int(step) < self.limit
 
 
 class Clock:
+  """True once per `period` wall-clock seconds, starting immediately.
 
-  def __init__(self, every):
-    self._every = every
-    self._last = None
+  Fires on a fixed cadence (the deadline advances by whole periods), but
+  resynchronizes to the current time when more than one period behind, so a
+  long stall does not cause a burst of catch-up fires.
+  """
+
+  def __init__(self, period):
+    self.period = period
+    self.due_at = None
 
   def __call__(self, step=None):
-    if not self._every:
+    if not self.period:
       return False
     now = time.time()
-    if self._last is None:
-      self._last = now
+    if self.due_at is None:
+      self.due_at = now + self.period
       return True
-    if now >= self._last + self._every:
-      # Avoid drift: advance in units of the interval.
-      self._last += self._every
-      # But if we are far behind, resynchronize.
-      if now >= self._last + self._every:
-        self._last = now
-      return True
-    return False
+    if now < self.due_at:
+      return False
+    self.due_at += self.period
+    if self.due_at < now:
+      self.due_at = now + self.period
+    return True
