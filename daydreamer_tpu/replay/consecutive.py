@@ -1,91 +1,64 @@
-"""Sequential chunk streamer for TBPTT state carry-over.
+"""Sequential chunk streamer for truncated-BPTT training.
 
-Parity with the reference sampler (reference:
-embodied/replay/consecutive.py:10-83): streams contiguous chunks through
-whole episodes so the recurrent state carried between train calls stays
-valid; optional random start offsets.
+Capability parity with the reference streaming sampler (reference:
+embodied/replay/consecutive.py:10-83): chunks walk contiguously through
+whole trajectories so recurrent state carried between train calls stays
+valid; leftovers at an episode's end are stitched to the start of the next
+drawn episode; ``randomize`` starts each episode at a random offset.
 """
 
-import collections
-import threading
 import time
-import uuid
 
 import numpy as np
 
-from ..core import base
-from ..core.convert import convert
+from .sampler import StoreSampler, traj_length
 
 
-class Consecutive(base.Replay):
+def _concat(left, right):
+  return {k: np.concatenate([left[k], right[k]], 0) for k in right}
+
+
+class Consecutive(StoreSampler):
 
   def __init__(self, store, chunk=64, randomize=False, sync=0, seed=0):
-    self.store = store
-    self.chunk = chunk
+    super().__init__(store, chunk, sync=sync, seed=seed)
     self.randomize = randomize
-    self.random = np.random.RandomState(seed=seed)
-    self.ongoing = collections.defaultdict(
-        lambda: collections.defaultdict(list))
-    if sync:
-      self.last_scan = time.time()
-      self.thread = threading.Thread(
-          target=self._sync, args=(sync,), daemon=True)
-      self.thread.start()
 
-  def __len__(self):
-    return self.store.steps
-
-  @property
-  def stats(self):
-    return {f'replay_{k}': v for k, v in self.store.stats().items()}
-
-  def add(self, tran, worker=0):
-    if tran['is_first']:
-      self.ongoing[worker].clear()
-    episode = self.ongoing[worker]
-    [episode[k].append(v) for k, v in tran.items()]
-    if tran['is_last']:
-      self.add_traj(self.ongoing.pop(worker))
-
-  def add_traj(self, traj):
-    traj = {k: v for k, v in traj.items() if not k.startswith('log_')}
-    traj = {k: convert(v) for k, v in traj.items()}
-    self.store[uuid.uuid4().hex] = traj
+  def _min_length(self):
+    return 1  # The streamer can stitch arbitrarily short episodes.
 
   def dataset(self):
-    source, index = None, None
+    carry = None
     while True:
-      chunk, missing = None, self.chunk
-      while missing > 0:
-        if not source or index >= len(source['action']):
-          source, index = self._sample(), 0
-        if not chunk:
-          chunk = {k: v[index: index + missing] for k, v in source.items()}
-        else:
-          chunk = {
-              k: np.concatenate([chunk[k], v[index: index + missing]], 0)
-              for k, v in source.items()}
-        index += missing
-        missing = self.chunk - len(chunk['action'])
-      assert missing == 0, missing
-      yield chunk
+      data = self._next_traj()
+      if carry is not None:
+        data = _concat(carry, data)
+        carry = None
+      total = traj_length(data)
+      cursor = 0
+      while total - cursor >= self.chunk:
+        yield {k: v[cursor:cursor + self.chunk] for k, v in data.items()}
+        cursor += self.chunk
+      if cursor < total:
+        carry = {k: v[cursor:] for k, v in data.items()}
 
   def _sample(self):
-    keys = self.store.keys()
-    while not len(keys):
+    # Exposed for the profiling hook; the real work happens in dataset().
+    return self._next_traj()
+
+  def _next_traj(self):
+    while True:
+      traj = self._pick_stored()
+      if traj is not None:
+        break
       print('Waiting for episodes.')
       time.sleep(1)
-      keys = self.store.keys()
-    traj = self.store[keys[self.random.randint(0, len(keys))]]
-    if self.randomize:
-      length = len(next(iter(traj.values())))
-      start = self.random.randint(0, max(1, length - self.chunk))
-      traj = {k: v[start:] for k, v in traj.items()}
-      traj['is_first'][:1] = True
+    if not self.randomize:
+      return traj
+    steps = traj_length(traj)
+    offset = int(self.rng.integers(max(1, steps - self.chunk)))
+    traj = {k: v[offset:] for k, v in traj.items()}
+    firsts = np.array(traj['is_first'])
+    firsts[0] = True
+    traj['is_first'] = firsts
     return traj
-
-  def _sync(self, interval):
-    while True:
-      time.sleep(max(0, self.last_scan + interval - time.time()))
-      self.last_scan = time.time()
-      self.store.sync()

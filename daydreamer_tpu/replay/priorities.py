@@ -1,25 +1,20 @@
-"""Two-level (episode, index) priority table for PER
-(reference: embodied/replay/prios.py:7-153).
+"""Two-level priority table for prioritized experience replay.
 
-Thread-safe via a single lock; per-episode step priorities are aggregated
-into window probabilities by a convolution supplied by the caller; unseen
-windows get infinite priority so they are sampled first.
+Capability parity with the reference table (reference:
+embodied/replay/prios.py:7-153): episodes are drawn proportionally to their
+aggregated window priority and a window index within the episode is drawn
+from the per-episode window distribution. Unseen windows carry infinite
+priority so they win until first visited; ``fraction`` blends the priority
+distribution with a (boundary-biased) uniform floor at both levels.
+
+Decomposition: raw step priorities, per-episode window distributions, and
+episode masses live in parallel dicts; the episode-level distribution is
+rebuilt lazily behind a dirty flag.
 """
 
-import collections
 import threading
 
 import numpy as np
-
-
-class Entry:
-
-  __slots__ = ('steps', 'probs', 'total')
-
-  def __init__(self, steps, probs=None, total=None):
-    self.steps = steps
-    self.probs = probs
-    self.total = total
 
 
 class Priorities:
@@ -30,131 +25,136 @@ class Priorities:
     self.fraction = fraction
     self.prio_starts = prio_starts
     self.prio_ends = prio_ends
-    self.random = np.random.RandomState(seed=seed)
-    self.entries = {}
-    self.probs = None
-    self.keys = None
-    self.lock = threading.Lock()
-    self.metrics = {
-        'samples': collections.defaultdict(int),
-        'update_min': np.inf,
-        'update_max': -np.inf,
-    }
-
-  def __contains__(self, key):
-    return key in self.entries
+    self.rng = np.random.default_rng(seed)
+    self._raw = {}    # key -> float64 step priorities
+    self._dist = {}   # key -> window sampling distribution
+    self._mass = {}   # key -> total aggregated priority (pre inf-collapse)
+    self._top = None  # cached (keys tuple, probs array)
+    self._lock = threading.Lock()
+    self._visits = {}
+    self._upd_lo = np.inf
+    self._upd_hi = -np.inf
 
   def __len__(self):
-    return len(self.entries)
+    return len(self._raw)
+
+  def __contains__(self, key):
+    return key in self._raw
+
+  # --- mutation ---
+
+  def add(self, key, prios):
+    assert prios.dtype == np.float64, prios.dtype
+    with self._lock:
+      self._raw[key] = prios
+      self._refresh_episode(key)
+      self._top = None
+
+  def update(self, key, index, prios):
+    assert prios.dtype == np.float64, prios.dtype
+    self._upd_lo = min(self._upd_lo, float(prios.min()))
+    self._upd_hi = max(self._upd_hi, float(prios.max()))
+    with self._lock:
+      if key not in self._raw:
+        raise KeyError(key)
+      self._raw[key][index:index + len(prios)] = prios
+      self._refresh_episode(key)
+      self._top = None
+
+  def remove(self, key):
+    with self._lock:
+      self._raw.pop(key, None)
+      self._dist.pop(key, None)
+      self._mass.pop(key, None)
+      self._visits.pop(key, None)
+      self._top = None
+
+  # --- sampling ---
+
+  def sample(self):
+    assert len(self)
+    with self._lock:
+      keys, probs = self._episode_distribution()
+      slot = 0 if len(keys) == 1 else int(
+          self.rng.choice(len(keys), p=probs))
+      key = keys[slot]
+      windows = self._dist[key]
+      index = int(self.rng.choice(len(windows), p=windows))
+      prob = float(probs[slot] * windows[index])
+    self._visits[key] = self._visits.get(key, 0) + 1
+    return key, index, prob
+
+  # --- diagnostics ---
 
   @property
   def stats(self):
     if len(self) <= 1:
       return {}
-    with self.lock:
-      self._ensure()
-      entropy = -(self.probs @ np.log(self.probs + 1e-12)).item()
-      maximum = np.log(len(self.probs))
-    samples = list(self.metrics['samples'].values()) or [0]
+    with self._lock:
+      _, probs = self._episode_distribution()
+      entropy = float(-(probs @ np.log(probs + 1e-12)))
+      limit = float(np.log(len(probs)))
+    visits = list(self._visits.values()) or [0]
     return {
-        'randomness': entropy / maximum,
-        'seen_frac': len(self.metrics['samples']) / len(self.entries),
-        'seen_max': max(samples),
-        'sample_frac': sum(samples) / len(self.entries),
-        'update_min': self.metrics['update_min'],
-        'update_max': self.metrics['update_max'],
+        'randomness': entropy / limit,
+        'seen_frac': len(self._visits) / len(self._raw),
+        'seen_max': max(visits),
+        'sample_frac': sum(visits) / len(self._raw),
+        'update_min': self._upd_lo,
+        'update_max': self._upd_hi,
     }
 
-  def sample(self):
-    assert len(self)
-    with self.lock:
-      self._ensure()
-      if len(self.probs) == 1:
-        key = self.keys[0]
-        prob = 1.0
-      else:
-        pos = self.random.choice(len(self.probs), p=self.probs)
-        prob = self.probs[pos]
-        key = self.keys[pos]
-      entry = self.entries[key]
-      index = self.random.choice(len(entry.probs), p=entry.probs)
-      prob *= entry.probs[index]
-    self.metrics['samples'][key] += 1
-    return key, index, prob
-
-  def add(self, key, prios):
-    assert prios.dtype == np.float64, prios.dtype
-    entry = Entry(prios)
-    self._precompute(entry)
-    with self.lock:
-      self.entries[key] = entry
-      self.probs = None
-
-  def update(self, key, index, prios):
-    assert prios.dtype == np.float64, prios.dtype
-    self.metrics['update_min'] = min(
-        self.metrics['update_min'], prios.min())
-    self.metrics['update_max'] = max(
-        self.metrics['update_max'], prios.max())
-    try:
-      entry = self.entries[key]
-      entry.steps[index: index + len(prios)] = prios
-      self._precompute(entry)
-    except (KeyError, IndexError):
-      raise KeyError(key)
-    with self.lock:
-      self.probs = None
-
-  def remove(self, key):
-    self.metrics['samples'].pop(key, None)
-    with self.lock:
-      del self.entries[key]
-      self.probs = None
+  # --- persistence ---
 
   def save(self):
-    return {
-        'entries': self.entries.copy(),
-        'metrics': self.metrics,
-    }
+    with self._lock:
+      return {
+          'raw': {k: v.copy() for k, v in self._raw.items()},
+          'visits': dict(self._visits),
+          'bounds': (self._upd_lo, self._upd_hi),
+      }
 
   def load(self, data):
-    with self.lock:
-      self.metrics = data['metrics']
-      self.entries.update(data['entries'])
-      self.probs = None
+    with self._lock:
+      self._visits.update(data['visits'])
+      self._upd_lo, self._upd_hi = data['bounds']
+      for key, raw in data['raw'].items():
+        self._raw[key] = raw
+        self._refresh_episode(key)
+      self._top = None
 
-  def _precompute(self, entry):
-    agg = self.aggregate(entry.steps)
-    assert (agg >= 0).all(), agg
-    total = agg.sum()  # Before converting infs.
-    infs = np.isposinf(agg)
-    if infs.any():
-      agg = infs.astype(np.float64)
-    uniform = np.ones_like(agg) / len(agg)
-    if self.prio_starts or self.prio_ends:
-      uniform[0] *= (len(entry.steps) - len(uniform)) * self.prio_starts
-      uniform[-1] *= (len(entry.steps) - len(uniform)) * self.prio_ends
-      uniform /= uniform.sum()
-    normalized = agg.sum()
-    probs = uniform if normalized == 0 else agg / normalized
-    probs = self.fraction * probs + (1 - self.fraction) * uniform
-    entry.probs = probs
-    entry.total = total
+  # --- internals (lock held) ---
 
-  def _ensure(self):
-    if self.probs is not None:
-      return
-    lengths = np.array([len(x.probs) for x in self.entries.values()])
-    prios = np.array([x.total for x in self.entries.values()])
-    infs = np.isposinf(prios)
+  def _boundary_floor(self, windows, overhang):
+    floor = np.ones(windows, np.float64)
+    floor[0] += overhang * self.prio_starts
+    floor[-1] += overhang * self.prio_ends
+    return floor / floor.sum()
+
+  def _refresh_episode(self, key):
+    raw = self._raw[key]
+    weights = self.aggregate(raw)
+    assert (weights >= 0).all(), weights
+    self._mass[key] = float(weights.sum())
+    infs = np.isposinf(weights)
     if infs.any():
-      prios = infs.astype(np.float64)
-    total = prios.sum()
-    if total == 0:
-      probs = np.ones_like(prios) / len(prios)
-    else:
-      probs = prios / total
-    uniform = lengths / lengths.sum()
-    probs = self.fraction * probs + (1 - self.fraction) * uniform
-    self.probs = probs
-    self.keys = tuple(self.entries.keys())
+      weights = infs.astype(np.float64)
+    floor = self._boundary_floor(len(weights), len(raw) - len(weights))
+    total = weights.sum()
+    prio_part = floor if total == 0 else weights / total
+    self._dist[key] = self.fraction * prio_part + (1 - self.fraction) * floor
+
+  def _episode_distribution(self):
+    if self._top is None:
+      keys = tuple(self._raw.keys())
+      masses = np.array([self._mass[k] for k in keys])
+      infs = np.isposinf(masses)
+      if infs.any():
+        masses = infs.astype(np.float64)
+      total = masses.sum()
+      sizes = np.array([len(self._dist[k]) for k in keys], np.float64)
+      floor = sizes / sizes.sum()
+      prio_part = floor if total == 0 else masses / total
+      probs = self.fraction * prio_part + (1 - self.fraction) * floor
+      self._top = (keys, probs)
+    return self._top

@@ -1,225 +1,246 @@
-"""Trajectory stores: RAM, disk (npz), write-through, stats, and network.
+"""Trajectory stores: RAM, disk, write-through, stats, and network transport.
 
-Parity with the reference stores (reference: embodied/replay/store.py:10-357):
-- RAMStore: uuid-keyed dict with FIFO eviction at `capacity` steps.
-- DiskStore: npz-per-trajectory; filenames encode {time}-{key}-len{L}-rew{R};
-  async saves via a thread worker; sync() rescans newest-first up to capacity
-  (this is how the learner ingests actor episodes over a shared filesystem).
-- CkptRAMStore: RAM cache with disk write-through; sync() pulls new disk
-  trajectories into RAM.
-- Stats: decorator accumulating episodes/return/length.
-- StoreServer/StoreClient: ZMQ REP/REQ pickle-RPC exposing
-  keys/getitem/setitem/steps over TCP -- the host-side episode transport
-  between a robot actor process and the TPU learner.
+Capability parity with the reference store family (reference:
+embodied/replay/store.py:10-357) in a different shape:
+
+* A single ``TrajectoryStore`` base owns the step ledger and FIFO eviction;
+  backends implement only ``_put``/``_fetch``/``_drop``.
+* Disk persistence serializes trajectories as npz archives with a sortable
+  ``{nanotime}_{key}_{steps}_{reward}.npz`` name so a directory rescan can
+  rebuild the ledger without opening files.
+* The network transport is a ZMQ ROUTER/DEALER pair speaking multipart
+  binary frames with npz-encoded arrays -- no pickle on the wire, and the
+  DEALER side pipelines episode pushes without blocking the robot loop.
 """
 
 import io
-import threading
-import time as timelib
-import uuid as uuidlib  # noqa: F401  (used by samplers importing from here)
+import time
+from concurrent import futures
 
 import numpy as np
 
 from ..core import path as pathlib
-from ..core.worker import Worker
 
 
-class RAMStore:
+def pack_traj(traj):
+  """Serialize a dict of arrays into npz bytes."""
+  buffer = io.BytesIO()
+  np.savez(buffer, **traj)
+  return buffer.getvalue()
+
+
+def unpack_traj(payload):
+  arrays = np.load(io.BytesIO(payload))
+  return {name: arrays[name] for name in arrays.files}
+
+
+class TrajectoryStore:
+  """Ledger of trajectory lengths with FIFO eviction at a step capacity."""
 
   def __init__(self, capacity=None):
     self.capacity = capacity
-    self.steps = 0
-    self.trajs = {}
+    self._ledger = {}  # Insertion-ordered key -> step count.
+    self._steps = 0
 
-  def stats(self):
-    return {'steps': self.steps, 'trajs': len(self.trajs)}
+  # Backend hooks.
+  def _put(self, key, traj, steps):
+    raise NotImplementedError
 
-  def close(self):
+  def _fetch(self, key):
+    raise NotImplementedError
+
+  def _drop(self, key):
     pass
 
-  def keys(self):
-    return tuple(self.trajs.keys())
+  @property
+  def steps(self):
+    return self._steps
 
-  def __contains__(self, key):
-    return key in self.trajs
+  def stats(self):
+    return {'steps': self._steps, 'trajs': len(self._ledger)}
+
+  def keys(self):
+    return tuple(self._ledger)
 
   def __len__(self):
-    return len(self.trajs)
+    return len(self._ledger)
+
+  def __contains__(self, key):
+    return key in self._ledger
 
   def __getitem__(self, key):
-    return self.trajs[key]
+    if key not in self._ledger:
+      raise KeyError(key)
+    return self._fetch(key)
 
   def __setitem__(self, key, traj):
-    self.trajs[key] = traj
-    self.steps += len(next(iter(traj.values())))
-    self._enforce_limit()
+    steps = len(next(iter(traj.values())))
+    self._put(key, traj, steps)
+    self._ledger[key] = steps
+    self._steps += steps
+    while (self.capacity and self._steps > self.capacity
+           and len(self._ledger) > 1):
+      del self[next(iter(self._ledger))]
 
   def __delitem__(self, key):
-    traj = self.trajs.pop(key)
-    self.steps -= len(next(iter(traj.values())))
+    self._steps -= self._ledger.pop(key)
+    self._drop(key)
 
   def sync(self):
     pass
 
-  def _enforce_limit(self):
-    if not self.capacity:
-      return
-    while len(self.trajs) > 1 and self.steps > self.capacity:
-      del self[next(iter(self.trajs))]
+  def close(self):
+    pass
 
 
-class DiskStore:
+class RAMStore(TrajectoryStore):
+
+  def __init__(self, capacity=None):
+    super().__init__(capacity)
+    self._data = {}
+
+  def _put(self, key, traj, steps):
+    self._data[key] = traj
+
+  def _fetch(self, key):
+    return self._data[key]
+
+  def _drop(self, key):
+    del self._data[key]
+
+
+class DiskStore(TrajectoryStore):
+  """One npz file per trajectory; the filename carries the ledger entry."""
 
   def __init__(self, directory, capacity=None, parallel=False):
+    super().__init__(capacity)
     self.directory = pathlib.Path(directory)
     self.directory.mkdirs()
-    self.capacity = capacity
-    self.filenames = {}
-    self.steps = 0
-    self.worker = Worker('thread' if parallel else 'none')
+    self._files = {}
+    self._saver = futures.ThreadPoolExecutor(1) if parallel else None
     self.sync()
 
-  def stats(self):
-    return {'steps': self.steps, 'trajs': len(self.filenames)}
-
-  def close(self):
-    self.worker.close()
-
-  def keys(self):
-    return tuple(self.filenames.keys())
-
-  def __len__(self):
-    return len(self.filenames)
-
-  def __contains__(self, key):
-    return key in self.filenames
-
-  def __getitem__(self, key):
-    filename = pathlib.Path(self.filenames[key])
-    with filename.open('rb') as f:
-      data = np.load(f)
-      data = {k: data[k] for k in data.keys()}
-    return data
-
-  def __setitem__(self, key, traj):
-    length = len(next(iter(traj.values())))
-    filename = self._format(key, traj)
-    self.filenames[key] = filename
-    self.steps += length
-    self._enforce_limit()
-    self.worker.run(self._save, filename, traj)
-
-  def __delitem__(self, key):
-    filename = self.filenames.pop(key)
-    _, _, length, _ = self._parse(filename)
-    self.steps -= length
-
-  def sync(self):
-    filenames = sorted(self.directory.glob('*.npz'))
-    selected = {}
-    steps = 0
-    for filename in reversed(filenames):
-      _, key, length, _ = self._parse(filename)
-      if self.capacity and steps + length > self.capacity:
-        break
-      selected[key] = filename
-      steps += length
-    self.filenames = dict(reversed(list(selected.items())))
-    self.steps = steps
+  @staticmethod
+  def _name(key, traj, steps):
+    reward = int(traj['reward'].sum()) if 'reward' in traj else 0
+    return f'{time.time_ns():020d}_{key}_{steps}_{reward}.npz'
 
   @staticmethod
-  def _save(state, filename, traj):
-    filename = pathlib.Path(filename)
-    with io.BytesIO() as stream:
-      np.savez_compressed(stream, **traj)
-      stream.seek(0)
-      filename.write(stream.read(), mode='wb')
+  def _entry(filename):
+    stamp, key, steps, reward = filename.stem.rsplit('_', 3)
+    return key, int(steps)
 
-  def _enforce_limit(self):
-    if not self.capacity:
-      return
-    while len(self.filenames) > 1 and self.steps > self.capacity:
-      del self[next(iter(self.filenames))]
+  def _put(self, key, traj, steps):
+    target = self.directory / self._name(key, traj, steps)
+    self._files[key] = target
+    payload = pack_traj(traj)
+    if self._saver:
+      self._saver.submit(self._write, target, payload)
+    else:
+      self._write(target, payload)
 
-  def _format(self, key, traj):
-    time = timelib.strftime('%Y%m%dT%H%M%S', timelib.gmtime(timelib.time()))
-    length = len(next(iter(traj.values())))
-    reward = str(int(traj['reward'].sum())).replace('-', 'm')
-    return self.directory / f'{time}-{key}-len{length}-rew{reward}.npz'
+  @staticmethod
+  def _write(target, payload):
+    pathlib.Path(target).write(payload, mode='wb')
 
-  def _parse(self, filename):
-    time, key, length, reward = filename.stem.split('-')
-    time = timelib.mktime(
-        timelib.strptime(time, '%Y%m%dT%H%M%S')) - timelib.timezone
-    length = int(length.removeprefix('len'))
-    reward = int(reward.removeprefix('rew').replace('m', '-'))
-    return time, key, length, reward
+  def _fetch(self, key):
+    with pathlib.Path(self._files[key]).open('rb') as handle:
+      return unpack_traj(handle.read())
+
+  def _drop(self, key):
+    self._files.pop(key, None)
+
+  def sync(self):
+    """Rebuild the ledger from the directory, newest first up to capacity."""
+    chosen = []
+    total = 0
+    for filename in sorted(self.directory.glob('*.npz'), reverse=True):
+      key, steps = self._entry(filename)
+      if self.capacity and total + steps > self.capacity:
+        break
+      chosen.append((key, filename, steps))
+      total += steps
+    chosen.reverse()
+    self._ledger = {key: steps for key, _, steps in chosen}
+    self._files = {key: filename for key, filename, _ in chosen}
+    self._steps = total
+
+  def close(self):
+    if self._saver:
+      self._saver.shutdown(wait=True)
 
 
 class CkptRAMStore:
+  """RAM speed with disk durability: reads hit RAM, writes go to both."""
 
   def __init__(self, directory, capacity=None, parallel=False):
-    self.disk_store = DiskStore(directory, capacity, parallel)
-    self.ram_store = RAMStore(capacity)
+    self.disk = DiskStore(directory, capacity, parallel)
+    self.ram = RAMStore(capacity)
     self.sync()
 
   @property
   def steps(self):
-    return self.ram_store.steps
+    return self.ram.steps
 
   def stats(self):
-    return self.ram_store.stats()
-
-  def close(self):
-    self.ram_store.close()
-    self.disk_store.close()
+    return self.ram.stats()
 
   def keys(self):
-    return tuple(self.ram_store.keys())
+    return self.ram.keys()
 
   def __len__(self):
-    return len(self.ram_store)
+    return len(self.ram)
 
   def __contains__(self, key):
-    return key in self.ram_store
+    return key in self.ram
 
   def __getitem__(self, key):
-    return self.ram_store[key]
+    return self.ram[key]
 
   def __setitem__(self, key, traj):
-    self.ram_store[key] = traj
-    self.disk_store[key] = traj
+    self.ram[key] = traj
+    self.disk[key] = traj
 
   def sync(self):
-    self.disk_store.sync()
-    for key in self.disk_store.keys():
-      if key not in self.ram_store:
-        self.ram_store[key] = self.disk_store[key]
+    self.disk.sync()
+    for key in self.disk.keys():
+      if key not in self.ram:
+        self.ram[key] = self.disk[key]
+
+  def close(self):
+    self.disk.close()
 
 
 class Stats:
+  """Store decorator tracking episode count, return, and length."""
 
   def __init__(self, store):
     self.store = store
-    self.steps = self.store.steps
-    self.episodes = 0
-    self.reward = 0.0
+    self._episodes = 0
+    self._reward = 0.0
+    self._stat_steps = store.steps
+
+  @property
+  def steps(self):
+    return self.store.steps
 
   def stats(self):
-    return {
-        **self.store.stats(),
-        'episodes': self.episodes,
-        'ep_length': self.episodes and self.steps / self.episodes,
-        'ep_return': self.episodes and self.reward / self.episodes,
-    }
+    merged = dict(self.store.stats())
+    merged['episodes'] = self._episodes
+    merged['ep_length'] = (
+        self._stat_steps / self._episodes if self._episodes else 0)
+    merged['ep_return'] = (
+        self._reward / self._episodes if self._episodes else 0)
+    return merged
 
-  def __getattr__(self, name):
-    if name.startswith('__'):
-      raise AttributeError(name)
-    try:
-      return getattr(self.store, name)
-    except AttributeError:
-      raise ValueError(name)
+  def keys(self):
+    return self.store.keys()
+
+  def sync(self):
+    return self.store.sync()
+
+  def close(self):
+    return self.store.close()
 
   def __len__(self):
     return len(self.store)
@@ -232,34 +253,56 @@ class Stats:
 
   def __setitem__(self, key, traj):
     self.store[key] = traj
-    self.reward += traj['reward'].sum()
-    self.episodes += traj['is_first'].sum()
-    self.steps += len(traj['is_first'])
+    self._account(traj, +1)
 
   def __delitem__(self, key):
     traj = self.store[key]
     del self.store[key]
-    self.reward -= traj['reward'].sum()
-    self.episodes -= traj['is_first'].sum()
-    self.steps -= len(traj['is_first'])
+    self._account(traj, -1)
+
+  def _account(self, traj, sign):
+    self._reward += sign * float(traj['reward'].sum())
+    self._episodes += sign * int(traj['is_first'].sum())
+    self._stat_steps += sign * len(traj['is_first'])
+
+
+# --- network transport ---
+#
+# Frame layout (client -> server):  [opcode, *operands]
+#   b'put'   key payload   -> ack []
+#   b'get'   key           -> [payload]
+#   b'keys'                -> [newline-joined utf8 keys]
+#   b'steps'               -> [ascii integer]
+# Every request gets exactly one (possibly empty) reply, in order, so the
+# DEALER client can pipeline fire-and-forget puts and drain acks lazily.
 
 
 class StoreServer:
-  """ZMQ REP server exposing a store over TCP for remote actors."""
+  """Serves a local store to remote actors over a ZMQ ROUTER socket."""
 
   def __init__(self, store, port):
+    import threading
     self.store = store
-    self.thread = threading.Thread(
-        target=self._server, args=(port,), daemon=True)
-    self.thread.start()
+    self._thread = threading.Thread(
+        target=self._serve, args=(int(port),), daemon=True)
+    self._thread.start()
 
-  def __getattr__(self, name):
-    if name.startswith('__'):
-      raise AttributeError(name)
-    try:
-      return getattr(self.store, name)
-    except AttributeError:
-      raise ValueError(name)
+  # Local protocol passthrough so the learner can keep using the store.
+  @property
+  def steps(self):
+    return self.store.steps
+
+  def stats(self):
+    return self.store.stats()
+
+  def keys(self):
+    return self.store.keys()
+
+  def sync(self):
+    return self.store.sync()
+
+  def close(self):
+    return self.store.close()
 
   def __len__(self):
     return len(self.store)
@@ -273,86 +316,98 @@ class StoreServer:
   def __setitem__(self, key, traj):
     self.store[key] = traj
 
-  def _server(self, port):
-    import pickle
+  def _serve(self, port):
     import zmq
-    socket = zmq.Context().socket(zmq.REP)
+    socket = zmq.Context.instance().socket(zmq.ROUTER)
     socket.bind(f'tcp://*:{port}')
-    print(f'Replay server listening on *:{port}')
+    print(f'Trajectory store serving on tcp://*:{port}')
     while True:
-      method, args = pickle.loads(socket.recv())
-      ret = None
-      if method == 'keys':
-        ret = self.keys()
-      elif method == '__getitem__':
-        (key,) = args
-        ret = self[key]
-      elif method == '__setitem__':
-        key, traj = args
-        self[key] = traj
-      elif method == 'steps':
-        ret = self.steps
-      else:
-        raise NotImplementedError(method)
-      socket.send(pickle.dumps(ret))
+      identity, opcode, *operands = socket.recv_multipart()
+      reply = self._dispatch(opcode, operands)
+      socket.send_multipart([identity, *reply])
+
+  def _dispatch(self, opcode, operands):
+    if opcode == b'put':
+      key, payload = operands
+      self.store[key.decode()] = unpack_traj(payload)
+      return [b'']  # ROUTER drops messages with no body frame.
+    if opcode == b'get':
+      (key,) = operands
+      return [pack_traj(self.store[key.decode()])]
+    if opcode == b'keys':
+      return ['\n'.join(self.store.keys()).encode()]
+    if opcode == b'steps':
+      return [str(self.store.steps).encode()]
+    raise NotImplementedError(opcode)
 
 
 class StoreClient:
-  """ZMQ REQ client; setitem is pipelined so actors never block on pushes."""
+  """Remote store handle; episode pushes are pipelined, reads block."""
 
   def __init__(self, address):
     import zmq
     self.address = address
-    self.socket = zmq.Context().socket(zmq.REQ)
-    self.socket.connect(f'tcp://{address}')
-    print(f'Using remote store via ZMQ on {address}')
-    self.pending = False
-    self.once = True
+    self._socket = zmq.Context.instance().socket(zmq.DEALER)
+    self._socket.connect(f'tcp://{address}')
+    self._inflight = 0  # Replies not yet read, all for pipelined puts.
+    self._greeted = False
+    print(f'Pushing trajectories to remote store at {address}.')
 
   @property
   def steps(self):
-    self._call('steps')
-    return self._result()
+    return int(self._request(b'steps')[0])
+
+  def keys(self):
+    text = self._request(b'keys')[0].decode()
+    return tuple(text.split('\n')) if text else ()
+
+  def __getitem__(self, key):
+    return unpack_traj(self._request(b'get', key.encode())[0])
+
+  def __setitem__(self, key, traj):
+    # Fire and forget: collect outstanding acks opportunistically so the
+    # actor loop never blocks on the learner.
+    self._drain(block=False)
+    self._socket.send_multipart([b'put', key.encode(), pack_traj(traj)])
+    self._inflight += 1
 
   def stats(self):
     return {}
 
-  def close(self):
-    pass
-
-  def keys(self):
-    self._call('keys')
-    return self._result()
-
-  def __len__(self):
-    raise NotImplementedError('Use store.keys() for fewer remote calls.')
-
-  def __contains__(self, key):
-    raise NotImplementedError('Use store.keys() for fewer remote calls.')
-
-  def __getitem__(self, key):
-    self._call('__getitem__', key)
-    return self._result()
-
-  def __setitem__(self, key, traj):
-    self._call('__setitem__', key, traj)
-
   def sync(self):
     pass
 
-  def _call(self, method, *args):
-    import pickle
-    if self.pending:
-      self._result()
-    self.socket.send(pickle.dumps((method, args)))
-    self.pending = True
+  def close(self):
+    pass
 
-  def _result(self):
-    import pickle
-    assert self.pending
-    self.once and print(f'Waiting for response from {self.address}...')
-    ret = pickle.loads(self.socket.recv())
-    self.once and print(f'Connection to {self.address} successful!')
-    self.once = False
-    self.pending = False
-    return ret
+  def __len__(self):
+    raise NotImplementedError(
+        'len() would be a remote call per use; fetch keys() once instead.')
+
+  def __contains__(self, key):
+    raise NotImplementedError(
+        'Membership would be a remote call per use; fetch keys() instead.')
+
+  def _request(self, opcode, *operands):
+    self._drain(block=True)
+    self._socket.send_multipart([opcode, *operands])
+    if not self._greeted:
+      print(f'Awaiting first reply from {self.address}...')
+    frames = self._socket.recv_multipart()
+    if not self._greeted:
+      print(f'Remote store at {self.address} is live.')
+      self._greeted = True
+    return frames
+
+  def _drain(self, block):
+    import zmq
+    while self._inflight:
+      if not block:
+        try:
+          self._socket.recv_multipart(flags=zmq.NOBLOCK)
+        except zmq.Again:
+          return
+      else:
+        self._socket.recv_multipart()
+      self._greeted = True
+      self._inflight -= 1
