@@ -1,8 +1,13 @@
-"""Argv parser driven by a Config's keys and types.
+"""Command-line flags typed against a Config.
 
-Parity with reference flags (reference: embodied/core/flags.py:7-99):
-supports ``--key value``, ``--key=value``, pattern flags that fan out over
-regex-matched config keys, and ``parse_known`` for layered parsing.
+Capability parity with the reference parser (reference:
+embodied/core/flags.py:7-99): ``--key value...``, ``--key=value``, regex
+pattern flags that fan out over matching config keys, and ``parse_known``
+for layered parsing where unrecognized flags pass through.
+
+Parsing happens in two phases: argv is first grouped into (flag, values)
+tokens, then each group is resolved against the config's flat key space and
+coerced to the type of its default.
 """
 
 import re
@@ -11,19 +16,50 @@ import sys
 from .config import Config
 
 
+def _tokenize(argv):
+  """Group argv into (flag_name_or_None, [values]) tuples."""
+  groups = []
+  for arg in argv:
+    if arg.startswith('--'):
+      name, eq, inline = arg[2:].partition('=')
+      groups.append([name, [inline] if eq else []])
+    elif groups:
+      groups[-1][1].append(arg)
+    else:
+      groups.append([None, [arg]])
+  return groups
+
+
+def _coerce(text, default, key):
+  """Convert one string to the type of the config default."""
+  if default is None:
+    return text
+  if isinstance(default, bool):
+    if text not in ('True', 'False'):
+      raise TypeError(f"Flag '{key}' must be True or False but got '{text}'.")
+    return text == 'True'
+  if isinstance(default, int):
+    # Accept scientific notation (1e6) but reject true fractions.
+    number = float(text)
+    if number != int(number):
+      raise TypeError(f"Flag '{key}' of type int got fractional {number}.")
+    return int(number)
+  return type(default)(text)
+
+
 class Flags:
 
   def __init__(self, *args, **kwargs):
     self._config = Config(*args, **kwargs)
 
   def parse(self, argv=None, help_exits=True):
-    parsed, remaining = self.parse_known(argv, help_exits)
-    for flag in remaining:
-      if flag.startswith('--'):
-        raise ValueError(f"Flag '{flag}' did not match any config keys.")
-    if remaining:
-      raise ValueError(f'Could not parse all arguments: {remaining}')
-    return parsed
+    config, leftover = self.parse_known(argv, help_exits)
+    unmatched = [x for x in leftover if x.startswith('--')]
+    if unmatched:
+      raise ValueError(f"Flag '{unmatched[0]}' did not match any config keys.")
+    if leftover:
+      raise ValueError(f'Could not parse all arguments: {leftover}')
+    return config
 
   def parse_known(self, argv=None, help_exits=False):
     if argv is None:
@@ -32,73 +68,42 @@ class Flags:
       print('\nHelp: The available flags are:')
       print(self._config)
       help_exits and sys.exit()
-    parsed = {}
-    remaining = []
-    key = None
-    vals = None
-    for arg in argv:
-      if arg.startswith('--'):
-        if key:
-          self._submit_entry(key, vals, parsed, remaining)
-        if '=' in arg:
-          key, val = arg.split('=', 1)
-          vals = [val]
-        else:
-          key, vals = arg, []
-      else:
-        if key:
-          vals.append(arg)
-        else:
-          remaining.append(arg)
-    self._submit_entry(key, vals, parsed, remaining)
-    parsed = self._config.update(parsed)
-    return parsed, remaining
+    updates = {}
+    leftover = []
+    for name, values in _tokenize(argv):
+      if name is None:
+        leftover.extend(values)
+        continue
+      if '=' in name:  # A second '=' inside the value part of --k=v.
+        leftover.append(f'--{name}')
+        leftover.extend(values)
+        continue
+      targets = self._resolve(name)
+      if not targets:
+        leftover.append(f'--{name}')
+        leftover.extend(values)
+        continue
+      if not values:
+        raise ValueError(f"Flag '--{name}' was not followed by any values.")
+      for target in targets:
+        updates[target] = self._typed(target, values)
+    return self._config.update(updates), leftover
 
-  def _submit_entry(self, key, vals, parsed, remaining):
-    if not key and not vals:
-      return
-    if not key:
-      vals = ', '.join(f"'{x}'" for x in vals)
-      raise ValueError(f"Values {vals} were not preceded by any flag.")
-    name = key[len('--'):]
-    if '=' in name:
-      remaining.extend([key] + vals)
-      return
+  def _resolve(self, name):
+    """Map a flag name to the config keys it addresses."""
     if self._config.IS_PATTERN.match(name):
-      pattern = re.compile(name)
-      keys = {k for k in self._config.flat if pattern.fullmatch(k)}
-    elif name in self._config.flat:
-      keys = [name]
-    else:
-      keys = []
-    if not keys:
-      remaining.extend([key] + vals)
-      return
-    if not vals:
-      raise ValueError(f"Flag '{key}' was not followed by any values.")
-    for key in keys:
-      parsed[key] = self._parse_flag_value(self._config[key], vals, key)
+      matcher = re.compile(name)
+      return sorted(k for k in self._config.flat if matcher.fullmatch(k))
+    return [name] if name in self._config.flat else []
 
-  def _parse_flag_value(self, default, value, key):
-    value = value if isinstance(value, (tuple, list)) else (value,)
+  def _typed(self, key, values):
+    default = self._config[key]
     if isinstance(default, (tuple, list)):
-      if len(value) == 1 and ',' in value[0]:
-        value = value[0].split(',')
-      return tuple(self._parse_flag_value(default[0], [x], key) for x in value)
-    assert len(value) == 1, value
-    value = str(value[0])
-    if default is None:
-      return value
-    if isinstance(default, bool):
-      try:
-        return bool(['False', 'True'].index(value))
-      except ValueError:
-        message = f"Flag '{key}' must be True or False but got '{value}'."
-        raise TypeError(message)
-    if isinstance(default, int):
-      value = float(value)  # Allow scientific notation for integers.
-      if float(int(value)) != value:
-        message = f"Flag '{key}' of type int got fractional value {value}."
-        raise TypeError(message)
-      return int(value)
-    return type(default)(value)
+      if len(values) == 1 and ',' in values[0]:
+        values = values[0].split(',')
+      proto = default[0] if len(default) else ''
+      return tuple(_coerce(v, proto, key) for v in values)
+    if len(values) != 1:
+      raise ValueError(
+          f"Flag '--{key}' expects one value but got {len(values)}.")
+    return _coerce(values[0], default, key)

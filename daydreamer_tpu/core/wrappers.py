@@ -1,10 +1,13 @@
-"""Environment wrappers (reference: embodied/core/wrappers.py:10-241).
+"""Environment wrappers.
 
-TimeLimit, ActionRepeat, NormalizeAction, OneHotAction, DiscretizeAction,
-ResizeImage, RenderImage, and RestartOnException (crash-restart fault
-tolerance for flaky robot hardware, rate-limited to maxfails per window).
+Capability parity with the reference wrapper set (reference:
+embodied/core/wrappers.py:10-241): TimeLimit, ActionRepeat, NormalizeAction,
+OneHotAction, DiscretizeAction, ResizeImage, RenderImage, and
+RestartOnException (crash-restart fault tolerance for flaky robot hardware,
+rate-limited to ``maxfails`` failures inside a sliding ``window``).
 """
 
+import collections
 import functools
 import time
 
@@ -14,179 +17,186 @@ from . import base
 from . import space as spacelib
 
 
+def _categorical_space(shape, sampler):
+  """A float32 one-hot space whose sample() draws valid categoricals."""
+  space = spacelib.Space(np.float32, shape, 0, 1)
+  space.sample = sampler
+  space._discrete = True
+  return space
+
+
 class TimeLimit(base.Wrapper):
+  """Ends episodes after ``duration`` steps.
+
+  With ``reset=False`` the underlying env is never actually reset at the
+  boundary; the wrapper only raises ``is_first`` so the agent's recurrent
+  state restarts (used by resets=False robot configs where physical resets
+  are expensive or manual).
+  """
 
   def __init__(self, env, duration, reset=True):
     super().__init__(env)
-    self._duration = duration
-    self._reset = reset
-    self._step = 0
-    self._done = False
+    self._budget = duration
+    self._hard_reset = reset
+    self._remaining = 0
+    self._pending_reset = True
 
   def step(self, action):
-    if action['reset'] or self._done:
-      self._step = 0
-      self._done = False
-      if self._reset:
-        action = {**action, 'reset': True}
-        return self.env.step(action)
-      else:
-        # Soft reset: keep stepping the underlying env but mark the boundary
-        # so the agent's RSSM state resets (used for resets=False robot cfgs).
-        action = {**action, 'reset': False}
-        obs = self.env.step(action)
-        obs['is_first'] = True
-        return obs
-    self._step += 1
+    if action['reset'] or self._pending_reset:
+      self._remaining = self._budget
+      self._pending_reset = False
+      if self._hard_reset:
+        return self.env.step({**action, 'reset': True})
+      obs = self.env.step({**action, 'reset': False})
+      obs['is_first'] = True
+      return obs
     obs = self.env.step(action)
-    if self._duration and self._step >= self._duration:
+    self._remaining -= 1
+    if self._budget and self._remaining <= 0:
       obs['is_last'] = True
-    self._done = obs['is_last']
+    self._pending_reset = obs['is_last']
     return obs
 
 
 class ActionRepeat(base.Wrapper):
+  """Applies each action ``repeat`` times, summing rewards."""
 
   def __init__(self, env, repeat):
     super().__init__(env)
     self._repeat = repeat
-    self._done = False
+    self._pending_reset = False
 
   def step(self, action):
-    if action['reset'] or self._done:
+    if action['reset'] or self._pending_reset:
       obs = self.env.step(action)
-      self._done = obs['is_last']
+      self._pending_reset = obs['is_last']
       return obs
-    reward = 0.0
+    total = 0.0
+    obs = None
     for _ in range(self._repeat):
       obs = self.env.step(action)
-      reward += obs['reward']
+      total += obs['reward']
       if obs['is_last'] or obs['is_terminal']:
         break
-    obs['reward'] = np.float32(reward)
-    self._done = obs['is_last']
+    obs['reward'] = np.float32(total)
+    self._pending_reset = obs['is_last']
     return obs
 
 
 class NormalizeAction(base.Wrapper):
+  """Presents bounded action dims as [-1, 1]; unbounded dims pass through."""
 
   def __init__(self, env, key='action'):
     super().__init__(env)
     self._key = key
-    space = env.act_space[key]
-    self._mask = np.isfinite(space.low) & np.isfinite(space.high)
-    self._low = np.where(self._mask, space.low, -1)
-    self._high = np.where(self._mask, space.high, 1)
+    inner = env.act_space[key]
+    self._bounded = np.isfinite(inner.low) & np.isfinite(inner.high)
+    lo = np.where(self._bounded, inner.low, -1.0)
+    hi = np.where(self._bounded, inner.high, 1.0)
+    # action_env = scale * action_agent + center on bounded dims.
+    self._scale = (hi - lo) / 2
+    self._center = (lo + hi) / 2
+    self._lo, self._hi = lo, hi
 
   @property
   def act_space(self):
-    low = np.where(self._mask, -np.ones_like(self._low), self._low)
-    high = np.where(self._mask, np.ones_like(self._low), self._high)
-    space = spacelib.Space(np.float32, None, low, high)
-    return {**self.env.act_space, self._key: space}
+    lo = np.where(self._bounded, -1.0, self._lo)
+    hi = np.where(self._bounded, 1.0, self._hi)
+    outer = spacelib.Space(np.float32, None, lo, hi)
+    return {**self.env.act_space, self._key: outer}
 
   def step(self, action):
-    orig = (action[self._key] + 1) / 2 * (self._high - self._low) + self._low
-    orig = np.where(self._mask, orig, action[self._key])
-    return self.env.step({**action, self._key: orig})
+    raw = action[self._key]
+    mapped = np.where(self._bounded, self._scale * raw + self._center, raw)
+    return self.env.step({**action, self._key: mapped})
 
 
 class OneHotAction(base.Wrapper):
+  """Exposes a discrete env action as a one-hot float vector."""
 
   def __init__(self, env, key='action'):
     super().__init__(env)
-    self._count = int(env.act_space[key].high)
     self._key = key
+    self._classes = int(env.act_space[key].high)
 
   @property
   def act_space(self):
-    shape = (self._count,)
-    space = spacelib.Space(np.float32, shape, 0, 1)
-    space.sample = functools.partial(self._sample_action, self._count)
-    space._discrete = True
+    space = _categorical_space(
+        (self._classes,),
+        functools.partial(_draw_onehot, (self._classes,)))
     return {**self.env.act_space, self._key: space}
 
   def step(self, action):
+    vec = action[self._key]
     if not action['reset']:
-      # Straight-through sampled one-hots carry ~1e-7 float error from the
-      # probs - stop_grad(probs) term after XLA fusion; tolerate it.
-      assert abs(float(action[self._key].sum()) - 1.0) < 1e-3, action
-    index = np.argmax(action[self._key])
-    return self.env.step({**action, self._key: index})
-
-  @staticmethod
-  def _sample_action(count):
-    index = np.random.randint(0, count)
-    action = np.zeros(count, dtype=np.float32)
-    action[index] = 1.0
-    return action
+      # Straight-through sampling leaves ~1e-7 residue on the one-hot after
+      # XLA fusion; validate loosely.
+      assert abs(float(vec.sum()) - 1.0) < 1e-3, vec
+    return self.env.step({**action, self._key: int(np.argmax(vec))})
 
 
 class DiscretizeAction(base.Wrapper):
+  """Bins each continuous action dim and exposes per-dim one-hots."""
 
   def __init__(self, env, key='action', bins=5):
     super().__init__(env)
-    self._dims = int(np.squeeze(env.act_space[key].shape).item())
-    self._values = np.linspace(-1, 1, bins)
     self._key = key
+    self._dims = int(np.squeeze(env.act_space[key].shape).item())
+    self._grid = np.linspace(-1, 1, bins)
 
   @property
   def act_space(self):
-    shape = (self._dims, len(self._values))
-    space = spacelib.Space(np.float32, shape, 0, 1)
-    space.sample = functools.partial(
-        self._sample_action, self._dims, self._values)
-    space._discrete = True
+    shape = (self._dims, len(self._grid))
+    space = _categorical_space(
+        shape, functools.partial(_draw_onehot, shape))
     return {**self.env.act_space, self._key: space}
 
   def step(self, action):
+    vec = action[self._key]
     if not action['reset']:
-      assert (np.abs(action[self._key].sum(-1) - 1.0) < 1e-3).all(), action
-    indices = np.argmax(action[self._key], axis=-1)
-    continuous = np.take(self._values, indices)
+      assert (np.abs(vec.sum(-1) - 1.0) < 1e-3).all(), vec
+    continuous = self._grid[np.argmax(vec, axis=-1)]
     return self.env.step({**action, self._key: continuous})
 
-  @staticmethod
-  def _sample_action(dims, values):
-    indices = np.random.randint(0, len(values), dims)
-    action = np.zeros((dims, len(values)), dtype=np.float32)
-    action[np.arange(dims), indices] = 1.0
-    return action
+
+def _draw_onehot(shape):
+  """Sample a uniform one-hot (or stack of one-hots) of the given shape."""
+  flat = np.zeros(shape, np.float32).reshape(-1, shape[-1])
+  flat[np.arange(len(flat)), np.random.randint(0, shape[-1], len(flat))] = 1.0
+  return flat.reshape(shape).squeeze() if len(shape) == 1 else flat.reshape(shape)
 
 
 class ResizeImage(base.Wrapper):
+  """Nearest-neighbor resize of any multi-dim obs key to a target size."""
 
   def __init__(self, env, size=(64, 64)):
     super().__init__(env)
     self._size = tuple(size)
-    self._keys = [
-        k for k, v in env.obs_space.items()
-        if len(v.shape) > 1 and v.shape[:2] != self._size]
-    if self._keys:
+    self._targets = [
+        name for name, sp in env.obs_space.items()
+        if len(sp.shape) > 1 and sp.shape[:2] != self._size]
+    if self._targets:
       from PIL import Image
-      self._Image = Image
+      self._pil = Image
 
   @property
   def obs_space(self):
     spaces = dict(self.env.obs_space)
-    for key in self._keys:
-      shape = self._size + spaces[key].shape[2:]
-      spaces[key] = spacelib.Space(np.uint8, shape)
+    for name in self._targets:
+      tail = spaces[name].shape[2:]
+      spaces[name] = spacelib.Space(np.uint8, self._size + tail)
     return spaces
 
   def step(self, action):
     obs = self.env.step(action)
-    for key in self._keys:
-      obs[key] = self._resize(obs[key])
+    for name in self._targets:
+      img = self._pil.fromarray(obs[name])
+      obs[name] = np.array(img.resize(self._size, self._pil.NEAREST))
     return obs
-
-  def _resize(self, image):
-    image = self._Image.fromarray(image)
-    image = image.resize(self._size, self._Image.NEAREST)
-    return np.array(image)
 
 
 class RenderImage(base.Wrapper):
+  """Adds the env's render frame to the observation dict."""
 
   def __init__(self, env, key='image'):
     super().__init__(env)
@@ -195,9 +205,9 @@ class RenderImage(base.Wrapper):
 
   @property
   def obs_space(self):
-    spaces = dict(self.env.obs_space)
-    spaces[self._key] = spacelib.Space(np.uint8, self._shape)
-    return spaces
+    return {
+        **self.env.obs_space,
+        self._key: spacelib.Space(np.uint8, self._shape)}
 
   def step(self, action):
     obs = self.env.step(action)
@@ -206,6 +216,7 @@ class RenderImage(base.Wrapper):
 
 
 class RestartOnException(base.Wrapper):
+  """Rebuilds a crashing env, tolerating ``maxfails`` per sliding window."""
 
   def __init__(
       self, ctor, exceptions=(Exception,), window=300, maxfails=2, wait=20):
@@ -216,24 +227,22 @@ class RestartOnException(base.Wrapper):
     self._window = window
     self._maxfails = maxfails
     self._wait = wait
-    self._last = time.time()
-    self._fails = 0
-    super().__init__(self._ctor())
+    self._crashes = collections.deque()
+    super().__init__(ctor())
 
   def step(self, action):
     try:
       return self.env.step(action)
     except self._exceptions as e:
-      if time.time() > self._last + self._window:
-        self._last = time.time()
-        self._fails = 1
-      else:
-        self._fails += 1
-      if self._fails > self._maxfails:
+      now = time.time()
+      self._crashes.append(now)
+      while self._crashes and self._crashes[0] < now - self._window:
+        self._crashes.popleft()
+      if len(self._crashes) > self._maxfails:
         raise RuntimeError('The env crashed too many times.')
       print(f'Restarting env after crash with {type(e).__name__}: {e}',
             flush=True)
       time.sleep(self._wait)
       self.env = self._ctor()
-      action = {**action, 'reset': np.ones_like(action['reset'])}
-      return self.env.step(action)
+      return self.env.step(
+          {**action, 'reset': np.ones_like(action['reset'])})
