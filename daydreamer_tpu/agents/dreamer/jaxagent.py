@@ -41,18 +41,32 @@ class LazyMetrics(dict):
   back-to-back (async dispatch pipelines over the device) and only sync
   when metrics are actually logged."""
 
-  def __init__(self, names, packed):
+  def __init__(self, names, packed, fused=False):
     super().__init__()
     self._names = names
     self._packed = packed
+    self._fused = fused
     self._done = False
 
   def _materialize(self):
     if not self._done:
       values = np.asarray(self._packed)
-      if values.ndim == 2:  # Fused multi-step train: [steps, metrics].
-        values = values.mean(0)
-      super().update(dict(zip(self._names, values)))
+      if self._fused:  # Fused multi-step train: [steps, metrics].
+        assert values.ndim == 2, values.shape
+        merged = {}
+        for i, name in enumerate(self._names):
+          col = values[:, i]
+          # Extremes keep their meaning across the fused group; everything
+          # else is averaged like the logger would over separate steps.
+          if name.endswith('_max'):
+            merged[name] = col.max()
+          elif name.endswith('_min'):
+            merged[name] = col.min()
+          else:
+            merged[name] = col.mean()
+        super().update(merged)
+      else:
+        super().update(dict(zip(self._names, values)))
       self._done = True
       self._packed = None
 
@@ -150,12 +164,16 @@ class JAXAgent:
       from ...replay import device_replay as drlib
       B = self.config.batch_size
       chunk = self.config.replay_chunk
+      # Match the host FixedLength sampler's episode-boundary oversampling
+      # so run=learning has the same data distribution on both paths.
+      prio_ends = float(self.config.replay_fixed.prio_ends)
 
       def body(loop, seed):
         varibs, carry = loop
         key = jax.random.PRNGKey(seed)
         skey, tkey = jax.random.split(key)
-        batch = drlib.sample((buffers, filled, cursor), skey, B, chunk)
+        batch = drlib.sample(
+            (buffers, filled, cursor), skey, B, chunk, prio_ends)
         (outs, carry, packed), varibs = train_packed(
             varibs, tkey, batch, carry)
         return (varibs, carry), packed
@@ -381,7 +399,7 @@ class JAXAgent:
         self.varibs, seeds, stacked, state)
     self.varibs = varibs
     assert self._metric_names is not None
-    mets = LazyMetrics(self._metric_names, packeds)
+    mets = LazyMetrics(self._metric_names, packeds, fused=True)
     if outs:
       outs = jax.device_get(outs)
     if keys and keys[0] is not None and 'priority' in outs:
@@ -450,7 +468,7 @@ class JAXAgent:
         self.varibs, seeds, buffers, filled, cursor, state)
     self.varibs = varibs
     assert self._metric_names is not None
-    mets = LazyMetrics(self._metric_names, packeds)
+    mets = LazyMetrics(self._metric_names, packeds, fused=True)
     return {}, state, mets
 
   def make_device_replay(self, capacity=None, block=None):

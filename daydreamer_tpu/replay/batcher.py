@@ -41,27 +41,29 @@ def native_stack(trees, threads=4):
   if _STACK_LIB is None:
     return {k: np.stack([t[k] for t in trees]) for k in trees[0].keys()}
   out = {}
-  srcs, dsts, sizes = [], [], []
-  holders = []  # Keep contiguous views alive until the gather runs.
+  # One gather call per output buffer: offsets stay relative to a real base
+  # pointer (pointer arithmetic on a NULL base is undefined behavior).
   for key in trees[0].keys():
     first = np.asarray(trees[0][key])
     buf = np.empty((len(trees),) + first.shape, first.dtype)
     out[key] = buf
+    srcs, offs, sizes = [], [], []
+    holders = []  # Keep contiguous views alive until the gather runs.
     for i, tree in enumerate(trees):
       arr = np.ascontiguousarray(tree[key], first.dtype)
       assert arr.nbytes == first.nbytes, (key, arr.shape, first.shape)
       holders.append(arr)
       srcs.append(arr.ctypes.data)
-      dsts.append(buf.ctypes.data + i * first.nbytes)
+      offs.append(i * first.nbytes)
       sizes.append(first.nbytes)
-  n = len(srcs)
-  _STACK_LIB.fast_gather(
-      (ctypes.c_char_p * n)(*[ctypes.cast(s, ctypes.c_char_p)
-                              for s in srcs]),
-      (ctypes.c_int64 * n)(*dsts),
-      (ctypes.c_int64 * n)(*sizes),
-      n, ctypes.c_char_p(0), threads)
-  del holders
+    n = len(srcs)
+    _STACK_LIB.fast_gather(
+        (ctypes.c_char_p * n)(*[ctypes.cast(s, ctypes.c_char_p)
+                                for s in srcs]),
+        (ctypes.c_int64 * n)(*offs),
+        (ctypes.c_int64 * n)(*sizes),
+        n, ctypes.c_char_p(buf.ctypes.data), threads)
+    del holders
   return out
 
 
@@ -122,8 +124,6 @@ class NativeBatcher:
     B, L = self.batch_size, self.chunk
     example = picks[0][0]
     batch = {}
-    tasks_srcs, tasks_offs, tasks_sizes = [], [], []
-    holders = []  # Keep slices alive until the gather runs.
     for key in example.keys():
       if key == 'is_first':
         continue
@@ -131,24 +131,27 @@ class NativeBatcher:
       out = np.empty((B, L) + value.shape[1:], value.dtype)
       batch[key] = out
       row_bytes = int(np.prod(value.shape[1:]) * value.dtype.itemsize) * L
-      base = out.ctypes.data
+      srcs, offs, sizes = [], [], []
+      holders = []  # Keep slices alive until the gather runs.
       for b, (traj, index) in enumerate(picks):
         window = np.ascontiguousarray(traj[key][index: index + L])
         holders.append(window)
-        tasks_srcs.append(window.ctypes.data)
-        tasks_offs.append(base + b * row_bytes)
-        tasks_sizes.append(row_bytes)
-    if self._lib is None:
-      for src, dst, nbytes in zip(tasks_srcs, tasks_offs, tasks_sizes):
-        ctypes.memmove(dst, src, nbytes)
-    else:
-      n = len(tasks_srcs)
-      srcs = (ctypes.c_char_p * n)(*[
-          ctypes.cast(s, ctypes.c_char_p) for s in tasks_srcs])
-      # Offsets are absolute addresses; pass dst=NULL base.
-      offs = (ctypes.c_int64 * n)(*tasks_offs)
-      sizes = (ctypes.c_int64 * n)(*tasks_sizes)
-      self._lib.fast_gather(
-          srcs, offs, sizes, n, ctypes.c_char_p(0), self.threads)
-    del holders
+        srcs.append(window.ctypes.data)
+        offs.append(b * row_bytes)
+        sizes.append(row_bytes)
+      if self._lib is None:
+        base = out.ctypes.data
+        for src, off, nbytes in zip(srcs, offs, sizes):
+          ctypes.memmove(base + off, src, nbytes)
+      else:
+        # Offsets are relative to the real output base pointer (NULL-base
+        # pointer arithmetic is undefined behavior).
+        n = len(srcs)
+        self._lib.fast_gather(
+            (ctypes.c_char_p * n)(*[
+                ctypes.cast(s, ctypes.c_char_p) for s in srcs]),
+            (ctypes.c_int64 * n)(*offs),
+            (ctypes.c_int64 * n)(*sizes),
+            n, ctypes.c_char_p(out.ctypes.data), self.threads)
+      del holders
     return batch

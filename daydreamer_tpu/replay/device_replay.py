@@ -116,24 +116,30 @@ class StoreMirror:
   def __init__(self, replay, device):
     self.store = replay.store
     self.device = device
-    self.seen = set()
+    self._cursor = 0       # Store insertion clock; sync is O(new trajs).
+    self._seen = set()     # Fallback only, for stores without added_since.
 
   def sync(self):
     """Push steps of trajectories not yet mirrored; returns step count."""
+    if hasattr(self.store, 'added_since'):
+      fresh, self._cursor = self.store.added_since(self._cursor)
+    else:
+      fresh = [k for k in self.store.keys() if k not in self._seen]
+      self._seen.update(fresh)
     added = 0
-    for key in self.store.keys():
-      if key in self.seen:
-        continue
-      traj = self.store[key]
+    for key in fresh:
+      try:
+        traj = self.store[key]
+      except KeyError:
+        continue  # Evicted between listing and fetch.
       steps = {k: np.asarray(v) for k, v in traj.items()
                if not k.startswith('log_')}
       self.device.add_steps(steps)
-      self.seen.add(key)
       added += len(next(iter(steps.values())))
     return added
 
 
-def sample(state, rng, batch, chunk):
+def sample(state, rng, batch, chunk, prio_ends=0.0):
   """Draw a [batch, chunk, ...] dict from a DeviceReplay state.
 
   Pure function for use inside jit. Window starts are uniform over all
@@ -141,13 +147,40 @@ def sample(state, rng, batch, chunk):
   - ring not yet full: starts in [0, filled - chunk];
   - ring full: starts at cursor + [0, capacity - chunk] (mod capacity),
     so no window crosses the write seam at `cursor`.
+
+  ``prio_ends`` reproduces the host FixedLength sampler's episode-boundary
+  oversampling (fixed_length.py): each episode end inside the valid span
+  contributes ``chunk * prio_ends`` virtual window positions that clip onto
+  the window ending exactly at the episode's last step. Implemented as a
+  mixture: with the matching probability, a lane samples uniformly among
+  end-aligned windows instead of uniformly over all starts.
   """
   buffers, filled, cursor = state
   capacity = len(next(iter(buffers.values())))
   full = filled >= capacity
   span = jnp.where(full, capacity - chunk, jnp.maximum(filled - chunk, 0))
   base = jnp.where(full, cursor, 0)
-  offset = jax.random.randint(rng, (batch,), 0, span + 1)
+  rng, rng_uni = jax.random.split(rng)
+  offset = jax.random.randint(rng_uni, (batch,), 0, span + 1)
+  if prio_ends and 'is_last' in buffers:
+    rng_end, rng_mix = jax.random.split(rng)
+    # Offsets are relative to `base`; roll the termination flags so index i
+    # corresponds to offset i, then mask window-END offsets that are
+    # episode ends and whose window start lies in the valid span.
+    flags = jnp.roll(buffers['is_last'].astype(bool), -base)
+    pos = jnp.arange(capacity)
+    end_ok = flags & (pos >= chunk - 1) & (pos <= span + chunk - 1)
+    n_ends = end_ok.sum()
+    end_pick = jax.random.categorical(
+        rng_end, jnp.where(end_ok, 0.0, -jnp.inf), shape=(batch,))
+    end_offset = jnp.maximum(end_pick - (chunk - 1), 0)
+    # Host-sampler equivalent mass: every episode end adds chunk*prio_ends
+    # virtual positions on top of the span+1 uniform ones.
+    extra = n_ends.astype(jnp.float32) * (chunk * prio_ends)
+    gate = extra / (extra + span.astype(jnp.float32) + 1.0)
+    take_end = (n_ends > 0) & (
+        jax.random.uniform(rng_mix, (batch,)) < gate)
+    offset = jnp.where(take_end, end_offset, offset)
   starts = (base + offset) % capacity
   rows = (starts[:, None] + jnp.arange(chunk)[None, :]) % capacity
   out = {k: jnp.take(v, rows, axis=0) for k, v in buffers.items()}

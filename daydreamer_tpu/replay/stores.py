@@ -40,6 +40,8 @@ class TrajectoryStore:
   def __init__(self, capacity=None):
     self.capacity = capacity
     self._ledger = {}  # Insertion-ordered key -> step count.
+    self._stamps = {}  # key -> monotone insertion sequence number.
+    self._clock = 0
     self._steps = 0
 
   # Backend hooks.
@@ -77,6 +79,8 @@ class TrajectoryStore:
     steps = len(next(iter(traj.values())))
     self._put(key, traj, steps)
     self._ledger[key] = steps
+    self._stamps[key] = self._clock
+    self._clock += 1
     self._steps += steps
     while (self.capacity and self._steps > self.capacity
            and len(self._ledger) > 1):
@@ -84,7 +88,23 @@ class TrajectoryStore:
 
   def __delitem__(self, key):
     self._steps -= self._ledger.pop(key)
+    self._stamps.pop(key, None)
     self._drop(key)
+
+  def added_since(self, cursor):
+    """Keys inserted at clock >= cursor (oldest first) and the new cursor.
+
+    O(new keys): the ledger is insertion-ordered, so a reverse walk can
+    stop at the first key older than the cursor. Lets incremental
+    consumers (e.g. the device-replay mirror) avoid rescanning the store.
+    """
+    fresh = []
+    for key in reversed(self._ledger):
+      if self._stamps[key] < cursor:
+        break
+      fresh.append(key)
+    fresh.reverse()
+    return fresh, self._clock
 
   def sync(self):
     pass
@@ -164,6 +184,16 @@ class DiskStore(TrajectoryStore):
     self._ledger = {key: steps for key, _, steps in chosen}
     self._files = {key: filename for key, filename, _ in chosen}
     self._steps = total
+    # Stamp rescanned keys in ledger order, preserving surviving stamps so
+    # added_since cursors held by consumers stay valid.
+    stamps = {}
+    for key in self._ledger:
+      stamp = self._stamps.get(key)
+      if stamp is None:
+        stamp = self._clock
+        self._clock += 1
+      stamps[key] = stamp
+    self._stamps = stamps
 
   def close(self):
     if self._saver:
@@ -201,6 +231,9 @@ class CkptRAMStore:
     self.ram[key] = traj
     self.disk[key] = traj
 
+  def added_since(self, cursor):
+    return self.ram.added_since(cursor)
+
   def sync(self):
     self.disk.sync()
     for key in self.disk.keys():
@@ -235,6 +268,9 @@ class Stats:
 
   def keys(self):
     return self.store.keys()
+
+  def added_since(self, cursor):
+    return self.store.added_since(cursor)
 
   def sync(self):
     return self.store.sync()

@@ -55,6 +55,31 @@ class TestDeviceReplayRing:
         assert (np.diff(row) == 1).all(), row  # Consecutive: no seam.
         assert 48 <= row[0] and row[-1] < 80, row  # Only newest 32 steps.
 
+  def test_prio_ends_oversamples_episode_ends(self):
+    # Matches the host FixedLength sampler: each episode end contributes
+    # chunk*prio_ends virtual positions for the window that ends on it.
+    replay = drlib.DeviceReplay(capacity=64, chunk=4, block=8)
+    steps = make_steps(0, 64)
+    steps['is_last'] = np.zeros(64, bool)
+    ends = [19, 39]
+    steps['is_last'][ends] = True
+    replay.add_steps(steps)
+    chunk, batch, prio = 4, 4096, 1.0
+    rng = jax.random.PRNGKey(3)
+    out = jax.device_get(
+        drlib.sample(replay.state, rng, batch, chunk, prio_ends=prio))
+    last = out['value'][:, -1]
+    frac = np.isin(last, ends).mean()
+    # Expected mass: mixture gate + uniform windows landing there anyway.
+    span = 64 - chunk
+    gate = (len(ends) * chunk * prio) / (len(ends) * chunk * prio + span + 1)
+    expect = gate + (1 - gate) * len(ends) / (span + 1)
+    assert abs(frac - expect) < 0.03, (frac, expect)
+    # Without prio_ends the same windows are rare.
+    out0 = jax.device_get(drlib.sample(replay.state, rng, batch, chunk))
+    frac0 = np.isin(out0['value'][:, -1], ends).mean()
+    assert frac0 < 0.1, frac0
+
   def test_sampling_covers_buffer(self):
     replay = drlib.DeviceReplay(capacity=64, chunk=4, block=8)
     replay.add_steps(make_steps(0, 64))
