@@ -56,7 +56,9 @@ class TestRobotEnvs:
 
   def test_a1_dummy_spaces(self):
     env = load_env('a1_dummy', amount=1, parallel='none', length=20)
-    assert env.obs_space['vector'].shape == (78,)
+    # 12 motor angles + IMU [roll, pitch, droll, dpitch], matching the sim
+    # (reference env_builder.py:62-73 sensor suite).
+    assert env.obs_space['vector'].shape == (16,)
     assert env.act_space['action'].shape == (12,)
     rollout(env)
     env.close()
@@ -118,13 +120,73 @@ class TestGamepad:
     assert pad.speed_command() == (0.0, 0.0, 0.0)
 
 
+class TestA1Model:
+  """Unitree A1 MuJoCo model: action map, reward shaping, reset safety."""
+
+  def test_action_mapping_roundtrip(self):
+    from daydreamer_tpu.envs import a1_model as m
+    acts = np.linspace(-1, 1, 12)
+    angles = m.unnormalize_action(acts)
+    assert (angles >= m.MOTOR_MINS - 1e-9).all()
+    assert (angles <= m.MOTOR_MAXS + 1e-9).all()
+    np.testing.assert_allclose(m.normalize_action(angles), acts, atol=1e-9)
+
+  def test_standing_beats_fallen(self):
+    from daydreamer_tpu.envs import a1_model as m
+    robot = m.A1Robot(action_repeat=20, seed=0)
+    task = m.RMATask()
+    robot.reset()
+    stand_pose = m.STANDING_POSE
+    for _ in range(60):
+      robot.apply_action(stand_pose)
+    r_stand = task(robot)
+    # Knock it over: zero torques while tipped.
+    robot.data.qpos[3:7] = [0.7071, 0.7071, 0, 0]  # 90deg roll.
+    robot.data.qpos[2] = 0.15
+    robot._mujoco.mj_forward(robot.model, robot.data)
+    r_fallen = task(robot)
+    # Standing opens the posture gates (+~4) over a fallen robot; both
+    # carry the +5 zero-velocity floor (rma_task.py:6-56 shape).
+    assert r_stand > 8.0, r_stand
+    assert r_fallen < 6.5, r_fallen
+    assert r_stand > r_fallen + 2.0
+    robot.close()
+
+  def test_safe_joints_reset_restores_bounds(self):
+    from daydreamer_tpu.envs import a1_model as m
+    robot = m.A1Robot(action_repeat=20, seed=0)
+    robot.reset()
+    # Force a joint out of bounds, then reset at current position.
+    robot.data.qpos[7] = m.MOTOR_MAXS[0] + 0.3
+    robot._mujoco.mj_forward(robot.model, robot.data)
+    robot.reset(at_current_position=True)
+    q = robot.motor_angles
+    assert (q <= m.MOTOR_MAXS - 0.02).all(), q
+    assert (q >= m.MOTOR_MINS + 0.02).all(), q
+    robot.close()
+
+  def test_reward_velocity_term(self):
+    from daydreamer_tpu.envs import a1_model as m
+    robot = m.A1Robot(action_repeat=20, seed=0)
+    task = m.RMATask(des_forward_speed=0.3)
+    robot.reset()
+    for _ in range(60):
+      robot.apply_action(m.STANDING_POSE)
+    r_still = task(robot)
+    # Inject forward base velocity along heading: r_vel term activates.
+    robot.data.qvel[0] = 0.3
+    r_moving = task(robot)
+    assert r_moving > r_still + 3.0, (r_moving, r_still)
+    robot.close()
+
+
 @pytest.mark.slow
 class TestMuJoCoEnvs:
 
   def test_a1_sim(self):
     env = load_env('a1_sim', amount=1, parallel='none', length=20)
     obs = rollout(env, steps=5)
-    assert obs['vector'].shape[-1] == env.obs_space['vector'].shape[0]
+    assert obs['vector'].shape[-1] == 16
     assert np.isfinite(obs['reward']).all()
     assert obs['image'].sum() > 0  # Rendered, not blank.
     env.close()
