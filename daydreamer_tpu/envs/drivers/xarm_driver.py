@@ -1,18 +1,30 @@
 """XArm hardware driver (reference: embodied/envs/robot_interface.py:150-276).
 
 Thin host-side wrapper over the vendor xarm SDK with RealSense frames,
-including the reference's error-clearing retry loops. Import-gated: raises
-a clear error when the SDK is absent (e.g. on the learner host)."""
+including the reference's error-clearing retry loops. Exposes the driver
+surface the PickPlace ArmController actuates: ``workspace``,
+``move_to(x, y, z)`` (meters; the SDK speaks millimeters), ``set_gripper``,
+``get_state``, ``get_frames``. Import-gated: raises a clear error when the
+SDK is absent (e.g. on the learner host)."""
 
 import time
 
 import numpy as np
 
+from ..robot import Workspace
+
+GRIPPER_OPEN = 850
+GRIPPER_CLOSE = 0
+VEL_MM_S = 200
+
 
 class XArmDriver:
 
-  Z_TABLE = 0.075
-  Z_HOVER = 0.30
+  # Two-bin tabletop (reference robot_interface.py:164-178).
+  workspace = Workspace(
+      left_min=(0.252, 0.085), left_max=(0.523, 0.175),
+      right_min=(0.252, -0.170), right_max=(0.523, -0.075),
+      z_table=0.182, z_hover=0.290, axis=1)
 
   def __init__(self, ip='192.168.1.208'):
     try:
@@ -26,6 +38,7 @@ class XArmDriver:
     self._arm.motion_enable(True)
     self._arm.set_mode(0)
     self._arm.set_state(0)
+    self._arm.set_gripper_enable(True)
     self._camera = _RealSense()
 
   def _clear_errors(self, attempts=10):
@@ -34,27 +47,40 @@ class XArmDriver:
         return
       self._arm.clean_error()
       self._arm.clean_warn()
+      self._arm.motion_enable(True)
+      self._arm.set_mode(0)
+      self._arm.set_state(0)
       time.sleep(0.1)
 
-  def apply_discrete(self, act):
-    # Discrete deltas handled by the PickPlace env logic; the driver only
-    # executes cartesian moves and gripper toggles.
-    pass
+  def _wait_settled(self):
+    while self._arm.get_is_moving():
+      time.sleep(0.01)
 
-  def move_to(self, pose):
+  def move_to(self, x, y, z=None):
+    """Cartesian move in meters with the fixed top-down orientation."""
     self._clear_errors()
-    self._arm.set_position(*pose, wait=False)
+    self._arm.set_position(
+        x=1000 * x, y=1000 * y, z=None if z is None else 1000 * z,
+        roll=-180, pitch=0, yaw=0, speed=VEL_MM_S, wait=True)
+    self._wait_settled()
 
   def set_gripper(self, closed):
-    self._arm.set_gripper_position(0 if closed else 850, wait=False)
+    self._clear_errors()
+    self._arm.set_gripper_position(
+        GRIPPER_CLOSE if closed else GRIPPER_OPEN, wait=True)
+    self._wait_settled()
 
   def get_state(self):
-    code, pose = self._arm.get_position()
-    code, joints = self._arm.get_servo_angle()
+    self._wait_settled()
+    code, pose = self._arm.get_position(is_radian=True)
+    code, joints = self._arm.get_servo_angle(is_radian=True)
     code, gripper = self._arm.get_gripper_position()
-    return (np.asarray(pose[:6], np.float32),
+    pose = np.asarray(pose[:6], np.float32)
+    pose[:3] /= 1000  # mm -> m.
+    grip = (gripper - GRIPPER_OPEN) / (GRIPPER_CLOSE - GRIPPER_OPEN)
+    return (pose,
             np.asarray(joints[:7], np.float32),
-            np.asarray([gripper / 850.0], np.float32))
+            np.asarray([grip], np.float32))
 
   def get_frames(self):
     return self._camera.frames()

@@ -42,11 +42,103 @@ class TestRobotEnvs:
     # Drive gripper onto the object at (0.5, 0) and grasp.
     total = 0.0
     for _ in range(6):
-      obs = env.step({'action': 0, 'reset': False})  # +x
+      obs = env.step({'action': 1, 'reset': False})  # +x
       total += obs['reward']
     obs = env.step({'action': 4, 'reset': False})  # Close gripper.
     total += obs['reward']
     assert total >= 1.0  # Grasp reward fired.
+
+  def test_real_arm_actuation_command_stream(self):
+    """Scripted pick-and-transfer against a fake driver: the env must
+    actuate the arm (bounded grid moves, gripper, z dips) and pay the
+    +1 grasp / +10 transfer rewards from real state feedback."""
+    from daydreamer_tpu.envs import robot as rb
+
+    class FakeArm:
+      workspace = rb.Workspace(
+          left_min=(0.24, 0.08), left_max=(0.52, 0.16),
+          right_min=(0.24, -0.16), right_max=(0.52, -0.08),
+          z_table=0.18, z_hover=0.30, axis=1)
+
+      def __init__(self):
+        self.log = []
+        self.pos = np.array([0.28, 0.12, self.workspace.z_table])
+        self.closed = False
+        self.object_xy = None  # Set by the test after reset.
+        self.attached = False
+
+      def move_to(self, x, y, z=None):
+        if z is None:
+          z = self.pos[2]
+        self.log.append(('move', round(x, 4), round(y, 4), round(z, 4)))
+        self.pos = np.array([x, y, z])
+        if self.attached:
+          self.object_xy = self.pos[:2].copy()
+
+      def set_gripper(self, closed):
+        self.log.append(('grip', closed))
+        self.closed = closed
+        near = (self.object_xy is not None and
+                np.linalg.norm(self.pos[:2] - self.object_xy) < 0.02 and
+                self.pos[2] < 0.2)
+        self.attached = bool(closed and (self.attached or near))
+
+      def get_state(self):
+        if not self.closed:
+          grip = 0.0            # Fully open.
+        elif self.attached:
+          grip = 0.5            # Stopped on the object: holding.
+        else:
+          grip = 1.0            # Fully closed, empty.
+        cart = np.concatenate([self.pos, np.zeros(3)]).astype(np.float32)
+        return cart, np.zeros(7, np.float32), np.array([grip], np.float32)
+
+      def get_frames(self):
+        return (np.zeros((64, 64, 3), np.uint8),
+                np.zeros((64, 64, 1), np.uint8))
+
+      def close(self):
+        self.log.append(('close',))
+
+    fake = FakeArm()
+    env = rb.PickPlace(rb.EnvConfig(
+        robot_type=rb.RobotType.XARM, enable_z=True, length=0,
+        control_rate_hz=1000, driver=fake, seed=0))
+    obs = env.step({'action': 0, 'reset': True})
+    assert obs['is_first']
+    # Reset opened the gripper and parked the arm at a grid point in the
+    # left bin at table height.
+    assert ('grip', False) in fake.log
+    park = fake.log[-1]
+    assert park[0] == 'move' and park[3] == 0.18
+    assert 0.08 <= park[2] <= 0.16  # Left bin.
+    # Plant the object one grid cell +y of the arm and scoop it.
+    fake.object_xy = fake.pos[:2] + np.array([0.0, 0.04])
+    obs = env.step({'action': 3, 'reset': False})  # +y onto the object.
+    move = fake.log[-1]
+    assert move[0] == 'move' and move[3] == 0.18
+    assert abs(move[2] - fake.object_xy[1]) < 1e-6
+    obs = env.step({'action': 4, 'reset': False})  # Close: grasp.
+    assert obs['reward'] == 1.0
+    assert fake.log[-1] == ('grip', True)
+    obs = env.step({'action': 5, 'reset': False})  # Dip-and-lift to hover.
+    assert obs['reward'] == 0.0
+    assert fake.pos[2] == 0.30
+    # Carry across the divide (-y) until the transfer pays out.
+    total, crossed = 0.0, False
+    for _ in range(12):
+      obs = env.step({'action': 2, 'reset': False})  # -y.
+      total += obs['reward']
+      if obs['reward'] == 10.0:
+        crossed = True
+        break
+    assert crossed, fake.log
+    # Transfer auto-released and re-parked at the table.
+    assert ('grip', False) in fake.log[-4:]
+    assert fake.pos[2] == 0.18
+    assert -0.16 + 0.03 <= fake.object_xy[1] <= -0.08 - 0.03  # Right safe.
+    env.close()
+    assert fake.log[-1] == ('close',)
 
   def test_sphero_dummy(self):
     env = load_env('sphero_dummy', amount=1, parallel='none', length=20)
