@@ -33,17 +33,21 @@ class BatchEnv(base.Env):
         raise ValueError('BatchEnv lanes must be single (unbatched) envs.')
     self._envs = list(envs)
     self._parallel = parallel
+    # Spaces are identical across lanes; resolve them once up front (for
+    # process-backed lanes each access is an RPC round-trip).
+    self._obs_space = self._envs[0].obs_space
+    self._act_space = self._envs[0].act_space
 
   def __len__(self):
     return len(self._envs)
 
   @property
   def obs_space(self):
-    return self._envs[0].obs_space
+    return self._obs_space
 
   @property
   def act_space(self):
-    return self._envs[0].act_space
+    return self._act_space
 
   def step(self, action):
     lanes = len(self._envs)
@@ -58,11 +62,13 @@ class BatchEnv(base.Env):
     return _collate(pending)
 
   def render(self):
-    return np.stack([env.render() for env in self._envs])
+    frames = [env.render() for env in self._envs]
+    return np.stack(frames)
 
   def close(self):
+    errors = []
     for env in self._envs:
       try:
         env.close()
-      except Exception:
-        pass
+      except Exception as e:
+        errors.append(e)  # Close every lane even if one raises.

@@ -1,18 +1,53 @@
 """Actor half of the async pair (reference: embodied/run/acting.py:8-98).
 
 Drives the (real-robot) env with the current policy, pushes completed
-episodes to the learner over the replay's ZMQ client, and reloads the
-learner's published weights every `sync_every` wall-clock seconds with a
-bounded retry loop (hardware-grade fault tolerance).
+episodes to the learner over the replay's ZMQ client, and periodically
+re-subscribes to the learner's published weights. Episode logging and the
+random prefill are shared with the synchronous modes via ``run.common``.
 """
 
-import re
 import time
 
 import numpy as np
 
 from .. import core
 from ..core import when as whenlib
+from .common import EpisodeReporter
+
+
+class WeightSubscriber:
+  """Pulls learner-published weights from a shared-filesystem checkpoint.
+
+  The learner writes `agent.pkl` every `sync_every` wall seconds; the actor
+  polls it on the same clock. Loads are retried with jittered backoff
+  because the file may be mid-write on non-atomic filesystems (e.g. gs://),
+  and the checkpoint age is logged so stale weights are visible in metrics.
+  """
+
+  RETRIES = 10
+
+  def __init__(self, agent, logdir, logger):
+    self._checkpoint = core.Checkpoint(core.Path(logdir) / 'agent.pkl')
+    self._checkpoint.agent = agent
+    self._logger = logger
+
+  def refresh(self):
+    print('Syncing.')
+    while not self._checkpoint.exists():
+      print('Waiting for agent checkpoint to be created.')
+      time.sleep(10)
+    last_error = None
+    for _ in range(self.RETRIES):
+      try:
+        age = self._checkpoint.load()
+        if age is not None:
+          self._logger.scalar('agent_cp_age', age)
+        return
+      except Exception as e:
+        last_error = e
+        print(f'Could not load checkpoint: {e}')
+        time.sleep(np.random.uniform(1, 5))
+    raise RuntimeError(f'Failed to load checkpoint: {last_error}')
 
 
 def acting(agent, env, replay, logger, actordir, args):
@@ -21,83 +56,45 @@ def acting(agent, env, replay, logger, actordir, args):
   print('Logdir:', logdir)
   actordir = core.Path(actordir)
   actordir.mkdirs()
-  should_sync = whenlib.Clock(args.sync_every)
-  should_expl = whenlib.Until(args.expl_until)
-  should_video = whenlib.Every(args.eval_every)
   step = logger.step
 
   timer = core.Timer()
   timer.wrap('agent', agent, ['policy'])
   timer.wrap('env', env, ['step'])
 
-  nonzeros = set()
-
-  def per_episode(ep):
-    metrics = {}
-    length = len(ep['reward']) - 1
-    score = float(ep['reward'].astype(np.float64).sum())
-    print(f'Episode has {length} steps and return {score:.1f}.')
-    metrics['length'] = length
-    metrics['score'] = score
-    metrics['average_reward'] = score / max(1, length)
-    metrics['reward_rate'] = (ep['reward'] - ep['reward'].min() >= 0.1).mean()
-    logs = {}
-    for key, value in ep.items():
-      if not args.log_zeros and key not in nonzeros and (value == 0).all():
-        continue
-      nonzeros.add(key)
-      if re.match(args.log_keys_sum, key):
-        logs[f'sum_{key}'] = ep[key].sum()
-      if re.match(args.log_keys_mean, key):
-        logs[f'mean_{key}'] = ep[key].mean()
-      if re.match(args.log_keys_max, key):
-        logs[f'max_{key}'] = ep[key].max(0).mean()
-    if should_video(step):
-      for key in args.log_keys_video:
-        if key in ep:
-          metrics[f'policy_{key}'] = ep[key]
-    logger.add(metrics, prefix='episode')
-    logger.add(logs, prefix='logs')
-    logger.add(replay.stats, prefix='replay')
-    logger.write()
+  reporter = EpisodeReporter(logger, args, step)
+  on_episode = reporter.callback(replay, whenlib.Every(args.eval_every))
 
   driver = core.Driver(env)
-  driver.on_episode(lambda ep, worker: per_episode(ep))
+  driver.on_episode(lambda ep, worker: on_episode(ep, worker))
   driver.on_step(lambda tran, _: step.increment())
   driver.on_step(replay.add)
 
+  # The actor's own resumable state is just its step counter; the episodes
+  # themselves live on the learner side (ZMQ store) or the shared replay dir.
   actor_cp = core.Checkpoint(actordir / 'actor.pkl')
   actor_cp.step = step
   actor_cp.load_or_save()
 
-  fill = max(1, args.train_fill - int(step))
-  print(f'Fill dataset ({fill} steps, 1 episode).')
-  random_agent = core.RandomAgent(env.act_space)
-  driver(random_agent.policy, steps=fill, episodes=1)
+  # Random prefill up to the learner's train_fill so it can start updating.
+  # The remote store's length is not cheaply queryable, so the deficit comes
+  # from the actor's own resumed step counter.
+  remaining = max(1, args.train_fill - int(step))
+  print(f'Fill dataset ({remaining} steps, 1 episode).')
+  driver(core.RandomAgent(env.act_space).policy, steps=remaining, episodes=1)
 
-  agent_cp = core.Checkpoint(logdir / 'agent.pkl')
-  agent_cp.agent = agent
+  weights = WeightSubscriber(agent, logdir, logger)
+  should_sync = whenlib.Clock(args.sync_every)
+  should_expl = whenlib.Until(args.expl_until)
 
   print('Start collection loop.')
-  policy = lambda *a: agent.policy(
-      *a, mode='explore' if should_expl(step) else 'train')
+
+  def policy(obs, state):
+    mode = 'explore' if should_expl(step) else 'train'
+    return agent.policy(obs, state, mode=mode)
 
   while step < args.steps:
     if should_sync(step):
-      print('Syncing.')
       actor_cp.save()
-      while not agent_cp.exists():
-        print('Waiting for agent checkpoint to be created.')
-        time.sleep(10)
-      for attempt in range(10):
-        try:
-          age = agent_cp.load()
-          if age is not None:
-            logger.scalar('agent_cp_age', age)
-          break
-        except Exception as e:
-          print(f'Could not load checkpoint: {e}')
-          time.sleep(np.random.uniform(1, 5))
-      else:
-        raise RuntimeError('Failed to load checkpoint.')
+      weights.refresh()
     driver(policy, steps=100)
