@@ -188,6 +188,27 @@ class JAXAgent:
     self.varibs = {}
     self._created = False
 
+    # Host-CPU policy mirror (jax.policy_devices == 'cpu'): the policy jit
+    # runs on the host against a periodically-refreshed subset of the
+    # parameters. On tunneled/remote TPU backends every policy call pays
+    # the link round-trip (~50-100ms), which dominates real-time actors
+    # (robot budget: ~50ms at 20Hz, reference: robot_interface.py:293);
+    # the nets are small enough that host inference takes single-digit ms.
+    # The mirror refreshes at most every `policy_sync` train steps, giving
+    # the same staleness semantics as the reference's actor/learner
+    # checkpoint polling (reference: acting.py:82-96) without the file.
+    self._policy_read_log = set()
+    self._policy_device = None
+    if str(config.jax.policy_devices) == 'cpu':
+      try:
+        self._policy_device = jax.local_devices(backend='cpu')[0]
+      except RuntimeError:
+        self._policy_device = None
+    self._policy_sync = int(config.jax.get('policy_sync', 64))
+    self._mirror = None
+    self._mirror_at = -1
+    self._train_steps = 0
+
     if self._jit:
       # Shardings declared on the jit itself: host numpy batches are
       # passed straight in and XLA overlaps the h2d transfer with
@@ -298,10 +319,16 @@ class JAXAgent:
       (_, _, mets), varibs = self._pure_train(
           varibs, 0, data, carry0, create=True)
       self._metric_names = sorted(mets.keys())
+      # Track the state subset the policy reads (all modes) so the CPU
+      # policy mirror only transfers those entries, not optimizer state.
+      log = self._policy_read_log
       state0, varibs = self._pure_policy_initial(
-          varibs, 0, B, create=True)
+          varibs, 0, B, create=True, read_log=log)
       _, varibs = self._pure_policy(
-          varibs, 0, obs, state0, mode='train', create=True)
+          varibs, 0, obs, state0, mode='train', create=True, read_log=log)
+      for mode in ('eval', 'explore'):
+        _, varibs = self._pure_policy(
+            varibs, 0, obs, state0, mode=mode, create=True, read_log=log)
       _, varibs = self._pure_report(varibs, 0, data, create=True)
       varibs = jax.device_get(varibs)
     self.varibs = meshlib.replicate(varibs, self.mesh)
@@ -334,15 +361,34 @@ class JAXAgent:
 
   # -- entry points ----------------------------------------------------------
 
+  def _policy_varibs(self):
+    """Parameters for the policy jit: the live state, or a host mirror.
+
+    The mirror holds only the entries the policy actually reads (captured
+    during creation) and refreshes from the training state at most every
+    `policy_sync` train steps."""
+    if self._policy_device is None:
+      return self.varibs
+    stale = self._mirror is None or (
+        self._train_steps - self._mirror_at >= self._policy_sync
+        and self._mirror_at != self._train_steps)
+    if stale:
+      subset = {k: self.varibs[k] for k in sorted(self._policy_read_log)
+                if k in self.varibs}
+      host = jax.device_get(subset)
+      self._mirror = jax.device_put(host, self._policy_device)
+      self._mirror_at = self._train_steps
+    return self._mirror
+
   def policy(self, obs, state=None, mode='train'):
     self._create()
     obs = {k: np.asarray(v) for k, v in obs.items()}
     batch = len(obs['is_first'])
+    varibs = self._policy_varibs()
     if state is None:
-      state, _ = self._jit_policy_initial(
-          self.varibs, self._next_seed(), batch)
+      state, _ = self._jit_policy_initial(varibs, self._next_seed(), batch)
     (outs, state), _ = self._jit_policy(
-        self.varibs, self._next_seed(), obs, state, mode=mode)
+        varibs, self._next_seed(), obs, state, mode=mode)
     outs = jax.device_get(outs)
     return outs, state
 
@@ -357,6 +403,7 @@ class JAXAgent:
     ((outs, state, packed), varibs) = self._jit_train(
         self.varibs, self._next_seed(), data, state)
     self.varibs = varibs
+    self._train_steps += 1
     assert self._metric_names is not None  # Captured during creation.
     mets = LazyMetrics(self._metric_names, packed)
     if outs:
@@ -398,6 +445,7 @@ class JAXAgent:
     ((outs, state, packeds), varibs) = self._jit_train_multi(
         self.varibs, seeds, stacked, state)
     self.varibs = varibs
+    self._train_steps += steps
     assert self._metric_names is not None
     mets = LazyMetrics(self._metric_names, packeds, fused=True)
     if outs:
@@ -467,6 +515,7 @@ class JAXAgent:
     ((state, packeds), varibs) = self._jit_train_device(
         self.varibs, seeds, buffers, filled, cursor, state)
     self.varibs = varibs
+    self._train_steps += steps
     assert self._metric_names is not None
     mets = LazyMetrics(self._metric_names, packeds, fused=True)
     return {}, state, mets
@@ -534,3 +583,4 @@ class JAXAgent:
             key, existing[key].shape, value.shape)
         loaded[key] = jnp.asarray(value)
     self.varibs = meshlib.replicate(loaded, self.mesh)
+    self._mirror = None  # Host policy mirror must refresh after a load.

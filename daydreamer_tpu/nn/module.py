@@ -47,10 +47,33 @@ def cast_to_compute(values):
       if jnp.issubdtype(x.dtype, jnp.floating) else x, values)
 
 
+class _ReadLogDict(dict):
+  """State dict that records every key returned through item access.
+
+  Used to discover the exact state subset an entry point touches (e.g.
+  which parameters the policy needs), so device mirrors can transfer only
+  that subset."""
+
+  def __init__(self, data, log):
+    super().__init__(data)
+    self.log = log
+
+  def __getitem__(self, key):
+    self.log.add(key)
+    return super().__getitem__(key)
+
+  def get(self, key, default=None):
+    self.log.add(key)
+    return super().get(key, default)
+
+
 class Context:
 
-  def __init__(self, state, rng, create=False):
-    self.state = dict(state)
+  def __init__(self, state, rng, create=False, read_log=None):
+    if read_log is None:
+      self.state = dict(state)
+    else:
+      self.state = _ReadLogDict(state, read_log)
     self.rng = rng
     self.create = create
 
@@ -85,14 +108,14 @@ def _activate(ctx):
 def pure(fn):
   """Wrap a module-using function into (state, seed, *args) -> (out, state)."""
 
-  def purified(state, seed, *args, create=False, **kwargs):
+  def purified(state, seed, *args, create=False, read_log=None, **kwargs):
     if hasattr(seed, 'dtype') and jnp.issubdtype(
         getattr(seed, 'dtype', None), jax.dtypes.prng_key):
       rng = seed
     else:
       seed = jnp.asarray(seed)
       rng = jax.random.PRNGKey(seed) if seed.shape == () else seed
-    ctx = Context(state, rng, create)
+    ctx = Context(state, rng, create, read_log)
     with _activate(ctx):
       out = fn(*args, **kwargs)
     return out, ctx.state

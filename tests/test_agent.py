@@ -241,3 +241,40 @@ def test_device_feed_matches_list_path():
   assert abs(float(r_mets['model_loss_mean']) -
              float(f_mets['model_loss_mean'])) < 1e-4
   env.close()
+
+
+def test_cpu_policy_mirror():
+  """The host policy mirror serves a stale-but-consistent param subset."""
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(
+      task='dummy_discrete',
+      **{'jax.policy_devices': 'cpu', 'jax.policy_sync': 2})
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  data = make_batch(env, config)
+  obs = {k: v[:, 0] for k, v in data.items() if k != 'action'}
+  acts, state = agent.policy(obs, mode='eval')
+  assert agent._mirror is not None
+  # The mirror holds only what the policy reads: no optimizer slots, and a
+  # strict subset of the full state.
+  assert len(agent._mirror) < len(agent.varibs)
+  assert not any('_opt/' in k for k in agent._mirror)
+  # Any encoder/actor param must be included.
+  assert any('actor' in k for k in agent._mirror)
+  synced_at = agent._mirror_at
+  # One train step: below the sync cadence, the mirror must stay stale.
+  _, tstate, _ = agent.train(data)
+  agent.policy(obs, state, mode='eval')
+  assert agent._mirror_at == synced_at
+  # Crossing the cadence refreshes it.
+  agent.train(data, tstate)
+  agent.policy(obs, state, mode='eval')
+  assert agent._mirror_at == 2
+  # Refreshed mirror policy agrees with the unmirrored policy on params:
+  # mirror values must match the live varibs for every mirrored key.
+  import jax as _jax
+  live = _jax.device_get({k: agent.varibs[k] for k in agent._mirror})
+  host = _jax.device_get(dict(agent._mirror))
+  for key in live:
+    np.testing.assert_allclose(live[key], host[key])
+  env.close()
