@@ -73,10 +73,11 @@ def main():
   _ = mets['model_loss_mean']
   compile_time = time.time() - start
 
-  # The backend's throughput fluctuates ~40x between windows for the same
-  # program (backend-load dependent), so sample windows within a time
-  # budget and report the best one.
-  best = 0.0
+  # The backend's throughput fluctuates between windows for the same
+  # program (the tunneled backend is shared), so sample windows within a
+  # time budget and report the MEDIAN: the steady-state number a user
+  # would actually see, not a lucky window.
+  rates = []
   deadline = time.time() + 300.0
   for window in range(60):
     calls = 2
@@ -85,12 +86,13 @@ def main():
       outs, state, mets = agent.train_device(replay, K, state)
     jax.block_until_ready(state)
     duration = time.time() - start
-    best = max(best, calls * K / duration)
-    if time.time() > deadline or best > 1000 * BASELINE_UPDATES_PER_S:
+    rates.append(calls * K / duration)
+    if time.time() > deadline or (
+        len(rates) >= 12 and np.median(rates) > 20 * BASELINE_UPDATES_PER_S):
       break
     if duration > 2.0:
       time.sleep(2.0)  # Congested window; give the backend air.
-  updates_per_s = best
+  updates_per_s = float(np.median(rates))
 
   # Synchronous latency per fused call (metrics fetched each call).
   start = time.time()
@@ -99,15 +101,47 @@ def main():
     _ = mets['model_loss_mean']
   sync_latency = (time.time() - start) / 5 / K
 
+  # Policy latency: the real-robot actor budget is ~50 ms at 20 Hz on the
+  # host (reference: robot_interface.py:293) and the reference asserts
+  # 0.007 s steady on its training device (tests.py:87-89). Measure both
+  # the host-CPU policy mirror (the robot-actor path) and the training
+  # device policy.
+  obs = {k: v[:, 0] for k, v in data.items() if k != 'action'}
+  obs = {k: v[:1] for k, v in obs.items()}
+
+  def timed_policy(label):
+    pstate = None
+    acts, pstate = agent.policy(obs, pstate, mode='eval')  # Compile.
+    start = time.time()
+    n = 50
+    for _ in range(n):
+      acts, pstate = agent.policy(obs, pstate, mode='eval')
+    return (time.time() - start) / n
+
+  agent._policy_device = None
+  policy_dev_s = timed_policy('device')
+  try:
+    agent._policy_device = jax.local_devices(backend='cpu')[0]
+    agent._mirror = None
+    policy_cpu_s = timed_policy('cpu-mirror')
+  except RuntimeError:
+    policy_cpu_s = float('nan')
+
   print(json.dumps({
       'metric': 'train_gradient_updates_per_s',
       'value': round(updates_per_s, 3),
-      'unit': 'updates/s (batch8,chunk8 TEST_CONFIG, device-replay fused x256, 1 chip)',
+      'unit': ('updates/s median (batch8,chunk8 TEST_CONFIG, '
+               'device-replay fused x256, 1 chip)'),
       'vs_baseline': round(updates_per_s / BASELINE_UPDATES_PER_S, 3),
   }))
   import sys
   print(f'compile_time_s={compile_time:.1f} '
-        f'sync_latency_s={sync_latency:.4f}', file=sys.stderr)
+        f'sync_latency_s={sync_latency:.4f} '
+        f'rate_windows={[round(r, 1) for r in rates]} '
+        f'policy_device_s={policy_dev_s:.4f} '
+        f'policy_cpu_mirror_s={policy_cpu_s:.4f} '
+        f'(reference policy budget 0.007s, robot budget 0.05s)',
+        file=sys.stderr)
 
 
 if __name__ == '__main__':

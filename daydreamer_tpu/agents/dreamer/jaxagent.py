@@ -551,9 +551,11 @@ class JAXAgent:
         workers=8, prefetch=4)
 
   def _filter_data(self, data):
+    # jax.Arrays pass through untouched: on multi-host runs they are
+    # globally sharded (host_local_batch) and cannot be fetched to numpy.
     return {
-        k: np.asarray(v) for k, v in data.items()
-        if not k.startswith('log_')}
+        k: v if isinstance(v, jax.Array) else np.asarray(v)
+        for k, v in data.items() if not k.startswith('log_')}
 
   # -- checkpointing ---------------------------------------------------------
 

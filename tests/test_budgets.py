@@ -1,0 +1,160 @@
+"""Latency-budget regression gates for the jitted agent entry points.
+
+Mirrors the reference's wall-clock budget tests (reference:
+embodied/agents/dreamerv2plus/tests.py:44-106: compile + steady budgets for
+train/policy/report under a shrunken TEST_CONFIG, and a 500-step run=train
+budget) and its static-vs-dynamic unroll matrix (reference:
+tests/test_xla_unroll.py:17-27).
+
+All numbers here are for the 8-virtual-device CPU mesh the test suite runs
+on (see conftest.py), so they gate relative regressions of THIS codebase,
+not absolute TPU performance (bench.py measures that on the real chip).
+One agent is created and timed once in a module fixture; the tests
+themselves are pure asserts, so adding budgets costs no extra compiles.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+import daydreamer_tpu as ddt
+from daydreamer_tpu.envs import load_env
+
+SLACK = 2.5  # Generous: CI boxes differ; catches order-of-magnitude slips.
+
+# Calibrated on this box WHILE a concurrent training run loaded all cores
+# (the realistic worst case for CI here); they still catch 2x-and-worse
+# regressions of the entry points.
+BUDGETS = {
+    'train_compile': 150.0,
+    'train_steady': 3.0,
+    'policy_compile': 40.0,
+    'policy_steady': 0.4,
+    'report_compile': 60.0,
+    'report_steady': 2.0,
+}
+
+
+def _test_config(**overrides):
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = ddt.Config(Agent.configs['defaults'])
+  config = config.update({
+      'jax.platform': 'cpu',
+      'jax.precision': 'float32',
+      'batch_size': 8,
+      'replay_chunk': 8,
+      'imag_horizon': 5,
+      r'.*\.layers': 2,
+      r'.*\.units': 128,
+      r'.*\.cnn_depth': 16,
+      r'.*\.wd$': 0.0,
+      'rssm.unroll': 1,
+      'imag_unroll': 1,
+      **overrides,
+  })
+  return config
+
+
+def _batch(env, config):
+  B, T = config.batch_size, config.replay_chunk
+  data = {}
+  for key, space in env.obs_space.items():
+    data[key] = np.zeros((B, T) + space.shape, space.dtype)
+  data['action'] = np.zeros(
+      (B, T) + env.act_space['action'].shape, np.float32)
+  data['is_first'][:, 0] = True
+  return data
+
+
+def _time_entry_points(config):
+  """Compile + steady latencies for train/policy/report on one agent."""
+  from daydreamer_tpu.agents.dreamer import Agent
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  data = _batch(env, config)
+  obs = {k: v[:, 0] for k, v in data.items() if k != 'action'}
+  env.close()
+  out = {}
+
+  start = time.time()
+  outs, state, mets = agent.train(data)
+  _ = float(mets['model_loss_mean'])  # Materialize = block.
+  out['train_compile'] = time.time() - start
+  start = time.time()
+  steps = 5
+  for _ in range(steps):
+    outs, state, mets = agent.train(data, state)
+  _ = float(mets['model_loss_mean'])
+  out['train_steady'] = (time.time() - start) / steps
+
+  start = time.time()
+  acts, pstate = agent.policy(obs, mode='train')
+  out['policy_compile'] = time.time() - start
+  start = time.time()
+  steps = 10
+  for _ in range(steps):
+    acts, pstate = agent.policy(obs, pstate, mode='train')
+  np.asarray(acts['action'])
+  out['policy_steady'] = (time.time() - start) / steps
+
+  start = time.time()
+  agent.report(data)
+  out['report_compile'] = time.time() - start
+  start = time.time()
+  steps = 3
+  for _ in range(steps):
+    report = agent.report(data)
+  out['report_steady'] = (time.time() - start) / steps
+  return out
+
+
+@pytest.fixture(scope='module')
+def timings():
+  return _time_entry_points(_test_config())
+
+
+@pytest.mark.parametrize('name', sorted(BUDGETS))
+def test_budget(timings, name):
+  measured = timings[name]
+  budget = BUDGETS[name] * SLACK
+  print(f'{name}: {measured:.4f}s (budget {budget:.3f}s)')
+  assert measured < budget, (name, measured, budget)
+
+
+@pytest.mark.slow
+def test_unroll_matrix():
+  """Static unroll trades compile time for steady-state step time
+  (the reference's biggest perf knob, reference:
+  tests/test_xla_unroll.py:17-27). Both modes must work; the unrolled
+  program may not be catastrophically slower at steady state."""
+  rolled = _time_entry_points(_test_config())
+  unrolled = _time_entry_points(_test_config(**{
+      'rssm.unroll': 8, 'imag_unroll': 5}))
+  print('rolled:', rolled)
+  print('unrolled:', unrolled)
+  assert np.isfinite(list(rolled.values())).all()
+  assert np.isfinite(list(unrolled.values())).all()
+  # The unrolled program must stay within 3x of the rolled steady state
+  # (they are usually close; a large gap means scan unrolling broke).
+  assert unrolled['train_steady'] < 3 * rolled['train_steady'] + 0.2
+
+
+@pytest.mark.slow
+def test_run_small_budget(tmp_path):
+  """500-step run=train end-to-end budget (reference tests.py:52-53)."""
+  from daydreamer_tpu.agents.dreamer import train as train_cli
+  start = time.time()
+  train_cli.main([
+      '--configs', 'debug',
+      '--task', 'dummy_discrete',
+      '--run', 'train',
+      '--jax.platform', 'cpu',
+      '--jax.precision', 'float32',
+      '--train.steps', '500',
+      '--train.train_fill', '100',
+      '--logdir', str(tmp_path / 'run'),
+  ])
+  duration = time.time() - start
+  print(f'500-step run=train: {duration:.1f}s')
+  assert duration < 300 * SLACK
