@@ -29,10 +29,14 @@ class A1Driver:
   obs_dim = OBS_FLOATS + 3  # Raw low state + estimated base velocity.
 
   def __init__(self, robot_ip='192.168.123.10', local_port=8090,
-               remote_port=8007, timeout_ms=100):
+               remote_port=8007, timeout_ms=100, wire='vendor'):
+    """wire: 'vendor' speaks the Unitree SDK's byte-exact LowCmd/LowState
+    UDP packets (drives a real A1 directly); 'framework' uses the compact
+    packet understood by the loopback simulator/bridge."""
     self._lib = load('robot_interface')
-    self._handle = self._lib.a1_create(
-        robot_ip.encode(), local_port, remote_port, timeout_ms)
+    wire_mode = {'framework': 0, 'vendor': 1}[wire]
+    self._handle = self._lib.a1_create_wire(
+        robot_ip.encode(), local_port, remote_port, timeout_ms, wire_mode)
     if not self._handle:
       raise RuntimeError('Could not create A1 UDP endpoint.')
     self._obs_buf = (ctypes.c_float * OBS_FLOATS)()

@@ -55,6 +55,16 @@ def _configure(name, lib):
   if name == 'robot_interface':
     lib.a1_create.restype = c.c_void_p
     lib.a1_create.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_int]
+    lib.a1_create_wire.restype = c.c_void_p
+    lib.a1_create_wire.argtypes = [
+        c.c_char_p, c.c_int, c.c_int, c.c_int, c.c_int]
+    lib.a1_pack_lowcmd.restype = c.c_int
+    lib.a1_pack_lowcmd.argtypes = [c.POINTER(c.c_float), c.c_char_p]
+    lib.a1_pack_lowstate.restype = c.c_int
+    lib.a1_pack_lowstate.argtypes = [c.POINTER(c.c_float), c.c_char_p]
+    lib.a1_parse_lowstate.restype = c.c_int
+    lib.a1_parse_lowstate.argtypes = [
+        c.c_char_p, c.c_int, c.POINTER(c.c_float)]
     lib.a1_set_power_protect.argtypes = [c.c_void_p, c.c_float]
     lib.a1_safety_clamp.argtypes = [c.c_void_p, c.POINTER(c.c_float)]
     lib.a1_send_command.restype = c.c_int

@@ -192,3 +192,128 @@ class TestQPSolver:
     for i in range(5):
       if abs(x[i]) < 0.499:
         assert abs(grad[i]) < 1e-2, (i, grad[i])
+
+
+# ---- Unitree vendor wire format (comm.h byte-exact parity) ------------------
+
+LOWCMD_SIZE = 730
+LOWSTATE_SIZE = 891
+
+
+def crc32_core(words):
+  """Reference implementation of the vendor CRC (public Unitree examples)."""
+  crc = 0xFFFFFFFF
+  poly = 0x04C11DB7
+  for data in words:
+    xbit = 1 << 31
+    for _ in range(32):
+      if crc & 0x80000000:
+        crc = ((crc << 1) & 0xFFFFFFFF) ^ poly
+      else:
+        crc = (crc << 1) & 0xFFFFFFFF
+      if data & xbit:
+        crc ^= poly
+      xbit >>= 1
+  return crc
+
+
+def expected_lowcmd_bytes(cmd):
+  """Build the vendor LowCmd packet independently from the struct layout
+  in the vendor header (comm.h:61-99, #pragma pack(1))."""
+  out = bytearray()
+  out += struct.pack('<BHHIB', 0xFF, 0, 0, 0, 0)  # header, levelFlag=LOWLEVEL
+  for m in range(20):
+    if m < 12:
+      q, dq, kp, kd, tau = cmd[m]
+    else:
+      q, dq, kp, kd, tau = 2.146e9, 16000.0, 0.0, 0.0, 0.0  # Pos/VelStopF
+    # MotorCmd: mode u8, q f32, dq f32, tau f32, Kp f32, Kd f32, u32[3]
+    out += struct.pack('<Bfffff', 0x0A, q, dq, tau, kp, kd)
+    out += b'\x00' * 12
+  out += b'\x00' * 12  # led[4] * 3 bytes
+  out += b'\x00' * 40  # wirelessRemote
+  out += b'\x00' * 4   # reserve
+  words = struct.unpack(f'<{(LOWCMD_SIZE >> 2) - 1}I',
+                        bytes(out[:((LOWCMD_SIZE >> 2) - 1) * 4]))
+  out += struct.pack('<I', crc32_core(words))
+  assert len(out) == LOWCMD_SIZE
+  return bytes(out)
+
+
+class TestVendorWire:
+
+  def test_lowcmd_bytes_match_vendor_struct(self):
+    """Packet bytes for a known command match an independently constructed
+    vendor LowCmd (VERDICT item 9 'done' criterion)."""
+    lib = load('robot_interface')
+    cmd = np.zeros((12, 5), np.float32)
+    cmd[:, 0] = np.array([0.0, 0.9, -1.8] * 4, np.float32)  # standing pose
+    cmd[:, 2] = 60.0  # kp
+    cmd[:, 3] = 0.8   # kd
+    cmd[3, 4] = 2.5   # some torque
+    buf = (ctypes.c_float * 60)(*cmd.reshape(-1))
+    packet = ctypes.create_string_buffer(LOWCMD_SIZE)
+    n = lib.a1_pack_lowcmd(buf, packet)
+    assert n == LOWCMD_SIZE
+    expected = expected_lowcmd_bytes(cmd)
+    assert packet.raw == expected
+
+  def test_lowstate_roundtrip_and_crc(self):
+    lib = load('robot_interface')
+    obs = np.arange(50, dtype=np.float32) / 10.0
+    obs[46:50] = np.array([10, 20, 30, 40], np.float32)  # int16 foot force
+    packet = ctypes.create_string_buffer(LOWSTATE_SIZE)
+    assert lib.a1_pack_lowstate(
+        obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        packet) == LOWSTATE_SIZE
+    parsed = (ctypes.c_float * 50)()
+    assert lib.a1_parse_lowstate(packet, LOWSTATE_SIZE, parsed) == 1
+    np.testing.assert_allclose(np.ctypeslib.as_array(parsed), obs, rtol=1e-6)
+    # Corrupt one byte -> CRC must reject.
+    bad = bytearray(packet.raw)
+    bad[100] ^= 0xFF
+    assert lib.a1_parse_lowstate(bytes(bad), LOWSTATE_SIZE, parsed) == -1
+
+  def test_vendor_udp_loopback(self):
+    """End-to-end vendor-mode UDP: send LowCmd, robot-sim replies with a
+    LowState echoing commanded joint positions."""
+    lib = load('robot_interface')
+    local, remote = free_port(), free_port()
+    done = []
+
+    def robot_sim():
+      sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+      sock.bind(('127.0.0.1', remote))
+      sock.settimeout(2.0)
+      data, _ = sock.recvfrom(4096)
+      assert len(data) == LOWCMD_SIZE
+      assert data[0] == 0xFF  # LOWLEVEL
+      # Parse q of the first 12 motors out of the packed MotorCmd array.
+      qs = []
+      for m in range(12):
+        off = 10 + m * 33 + 1
+        qs.append(struct.unpack('<f', data[off:off + 4])[0])
+      obs = np.zeros(50, np.float32)
+      obs[:12] = qs
+      obs[36] = 1.0
+      reply = ctypes.create_string_buffer(LOWSTATE_SIZE)
+      lib.a1_pack_lowstate(
+          obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), reply)
+      sock.sendto(reply.raw, ('127.0.0.1', local))
+      sock.close()
+      done.append(qs)
+
+    thread = threading.Thread(target=robot_sim, daemon=True)
+    thread.start()
+    handle = lib.a1_create_wire(b'127.0.0.1', local, remote, 1000, 1)
+    cmd = np.zeros((12, 5), np.float32)
+    cmd[:, 0] = np.array([0.0, 0.9, -1.8] * 4, np.float32)
+    buf = (ctypes.c_float * 60)(*cmd.reshape(-1))
+    assert lib.a1_send_command(handle, buf) == LOWCMD_SIZE
+    out = (ctypes.c_float * 50)()
+    assert lib.a1_receive_observation(handle, out) == 1
+    np.testing.assert_allclose(
+        np.ctypeslib.as_array(out)[:12], cmd[:, 0], rtol=1e-6)
+    lib.a1_destroy(handle)
+    thread.join(timeout=2)
+    assert done
