@@ -182,6 +182,38 @@ class JAXAgent:
       return (carry, packeds), state
 
     self._pure_train_device = train_device_packed
+
+    def train_device_per_packed(
+        state, seeds, buffers, filled, cursor, prios, carry):
+      # Device-side PER: priority-proportional window sampling AND the
+      # priority feedback loop run inside the fused dispatch. The priority
+      # ring threads through the scan, so update K sees the priorities
+      # written by update K-1 (restores the host Prioritized sampler's
+      # capability on the fastest learner path).
+      from ...replay import device_replay as drlib
+      B = self.config.batch_size
+      chunk = self.config.replay_chunk
+      exponent = float(self.config.replay_prio.exponent)
+      constant = float(self.config.replay_prio.constant)
+
+      def body(loop, seed):
+        varibs, carry, prios = loop
+        key = jax.random.PRNGKey(seed)
+        skey, tkey = jax.random.split(key)
+        batch, rows = drlib.sample_prioritized(
+            (buffers, filled, cursor), prios, skey, B, chunk,
+            exponent, constant)
+        (outs, carry, packed), varibs = train_packed(
+            varibs, tkey, batch, carry)
+        fresh = jnp.asarray(outs['priority'], jnp.float32).reshape(-1)
+        prios = prios.at[rows.reshape(-1)].set(fresh)
+        return (varibs, carry, prios), packed
+
+      (state, carry, prios), packeds = jax.lax.scan(
+          body, (state, carry, prios), seeds)
+      return (carry, packeds, prios), state
+
+    self._pure_train_device_per = train_device_per_packed
     self._pure_policy_initial = nn.pure(self.agent.policy_initial)
     self._pure_train_initial = nn.pure(self.agent.train_initial)
 
@@ -240,9 +272,14 @@ class JAXAgent:
       device_kw = dict(
           in_shardings=(repl, repl, repl, repl, repl, data_sh),
           out_shardings=((data_sh, repl), repl)) if multi else {}
+      device_per_kw = dict(
+          in_shardings=(repl, repl, repl, repl, repl, repl, data_sh),
+          out_shardings=((data_sh, repl, repl), repl)) if multi else {}
       self._jit_train = jax.jit(self._pure_train_packed, **train_kw)
       self._jit_train_multi = jax.jit(self._pure_train_multi, **multi_kw)
       self._jit_train_device = jax.jit(self._pure_train_device, **device_kw)
+      self._jit_train_device_per = jax.jit(
+          self._pure_train_device_per, **device_per_kw)
       self._jit_report = jax.jit(self._pure_report, **report_kw)
       self._jit_policy_initial = jax.jit(
           self._pure_policy_initial, static_argnums=(2,))
@@ -253,6 +290,7 @@ class JAXAgent:
       self._jit_train = self._pure_train_packed
       self._jit_train_multi = self._pure_train_multi
       self._jit_train_device = self._pure_train_device
+      self._jit_train_device_per = self._pure_train_device_per
       self._jit_report = self._pure_report
       self._jit_policy_initial = self._pure_policy_initial
       self._jit_train_initial = self._pure_train_initial
@@ -512,15 +550,21 @@ class JAXAgent:
           self.varibs, self._next_seed(), self.config.batch_size)
     seeds = np.stack([self._next_seed() for _ in range(steps)])
     buffers, filled, cursor = replay.state
-    ((state, packeds), varibs) = self._jit_train_device(
-        self.varibs, seeds, buffers, filled, cursor, state)
+    if getattr(replay, 'prioritized', False):
+      assert replay.prios is not None
+      ((state, packeds, prios), varibs) = self._jit_train_device_per(
+          self.varibs, seeds, buffers, filled, cursor, replay.prios, state)
+      replay.prios = prios
+    else:
+      ((state, packeds), varibs) = self._jit_train_device(
+          self.varibs, seeds, buffers, filled, cursor, state)
     self.varibs = varibs
     self._train_steps += steps
     assert self._metric_names is not None
     mets = LazyMetrics(self._metric_names, packeds, fused=True)
     return {}, state, mets
 
-  def make_device_replay(self, capacity=None, block=None):
+  def make_device_replay(self, capacity=None, block=None, prioritized=None):
     """Construct a DeviceReplay matching this agent's batch layout."""
     from ...replay.device_replay import DeviceReplay
     chunk = self.config.replay_chunk
@@ -528,9 +572,11 @@ class JAXAgent:
       block = min(64, chunk)  # Small blocks flush promptly at prefill.
     if capacity is None:
       capacity = int(self.config.replay_size)
+    if prioritized is None:
+      prioritized = str(self.config.replay) == 'prio'
     capacity = max(capacity, 2 * max(chunk, block))
     capacity = (capacity + block - 1) // block * block
-    return DeviceReplay(capacity, chunk, block=block)
+    return DeviceReplay(capacity, chunk, block=block, prioritized=prioritized)
 
   def report(self, data):
     self._create()

@@ -26,21 +26,34 @@ import jax
 import jax.numpy as jnp
 
 
+# Raw priority assigned to steps never yet sampled. The host PER uses
+# np.inf (unseen windows sample first); on device a large finite value
+# keeps the categorical logits finite while still dominating sampling.
+UNSEEN_PRIORITY = 1e6
+
+
 class DeviceReplay:
 
-  def __init__(self, capacity, chunk, block=64, sharding=None):
+  def __init__(self, capacity, chunk, block=64, sharding=None,
+               prioritized=False):
     assert capacity % block == 0, (capacity, block)
     assert capacity >= 2 * max(chunk, block), (capacity, chunk, block)
     self.capacity = int(capacity)
     self.chunk = int(chunk)
     self.block = int(block)
     self.sharding = sharding
+    self.prioritized = bool(prioritized)
     self.buffers = None    # {key: jnp [capacity, ...]} device rings.
+    self.prios = None      # jnp [capacity] raw step priorities (PER).
     self.cursor = 0        # Next write row (multiple of block).
     self.filled = 0        # Valid rows (<= capacity).
     self._staged = []      # Host-side steps awaiting a full block.
     self._staged_count = 0
     self._scatter = jax.jit(self._scatter_impl, donate_argnums=0)
+    self._mark_unseen = jax.jit(
+        lambda p, c: jax.lax.dynamic_update_slice_in_dim(
+            p, jnp.full((self.block,), UNSEEN_PRIORITY, jnp.float32), c, 0),
+        donate_argnums=0)
 
   def __len__(self):
     return self.filled
@@ -95,6 +108,10 @@ class DeviceReplay:
     slab = jax.device_put(merged)  # The one host->device crossing.
     # Cursor as a device scalar: keeps the scatter program compiled once.
     self.buffers = self._scatter(self.buffers, slab, jnp.int32(self.cursor))
+    if self.prioritized:
+      if self.prios is None:
+        self.prios = jnp.zeros((self.capacity,), jnp.float32)
+      self.prios = self._mark_unseen(self.prios, jnp.int32(self.cursor))
     self.cursor = (self.cursor + self.block) % self.capacity
     self.filled = min(self.filled + self.block, self.capacity)
 
@@ -187,3 +204,48 @@ def sample(state, rng, batch, chunk, prio_ends=0.0):
   if 'is_first' in out:
     out['is_first'] = out['is_first'].at[:, 0].set(True)
   return out
+
+
+def sample_prioritized(state, prios, rng, batch, chunk,
+                       exponent=0.5, constant=0.0):
+  """Priority-proportional window sampling on device (fused-path PER).
+
+  Device-side counterpart of the host Prioritized sampler
+  (replay/prioritized.py): window weight = sum over the window of
+  |priority|**exponent + constant (the host's conv(f(p), ones(chunk))
+  aggregation), window start drawn from the categorical over valid
+  starts, and `prob` returned for importance correction. Never-sampled
+  steps carry UNSEEN_PRIORITY so fresh data is drawn first, mirroring the
+  host's inf-priority-for-unseen. Window starts are offsets into the flat
+  step ring (episodes back-to-back) rather than the host's two-level
+  (episode, offset) table; boundary handling comes from the stored
+  is_first flags as in uniform `sample`.
+
+  Returns (chunk_dict incl. 'prob', rows [batch, chunk]) so the caller can
+  scatter fresh priorities back into the ring after the train step.
+  """
+  buffers, filled, cursor = state
+  capacity = len(next(iter(buffers.values())))
+  full = filled >= capacity
+  span = jnp.where(full, capacity - chunk, jnp.maximum(filled - chunk, 0))
+  base = jnp.where(full, cursor, 0)
+  # Window weights over all candidate offsets via a rolled cumsum.
+  rolled = jnp.roll(prios, -base)
+  stepw = jnp.abs(rolled) ** exponent + constant
+  csum = jnp.concatenate([jnp.zeros((1,), stepw.dtype), jnp.cumsum(stepw)])
+  offsets = jnp.arange(capacity - chunk + 1)
+  weights = csum[offsets + chunk] - csum[offsets]
+  weights = jnp.where(offsets <= span, jnp.maximum(weights, 1e-9), 0.0)
+  total = weights.sum()
+  logits = jnp.log(jnp.maximum(weights, 1e-30))
+  rng, rng_pick = jax.random.split(rng)
+  offset = jax.random.categorical(rng_pick, logits, shape=(batch,))
+  prob = weights[offset] / total
+  starts = (base + offset) % capacity
+  rows = (starts[:, None] + jnp.arange(chunk)[None, :]) % capacity
+  out = {k: jnp.take(v, rows, axis=0) for k, v in buffers.items()}
+  if 'is_first' in out:
+    out['is_first'] = out['is_first'].at[:, 0].set(True)
+  out['prob'] = jnp.broadcast_to(
+      prob.astype(jnp.float32)[:, None], (batch, chunk))
+  return out, rows

@@ -59,17 +59,26 @@ def learning(agent, train_replay, eval_replay, logger, args):
   batch = None
   feed = None
   fused = max(1, int(getattr(args, 'train_fused', 1)))
-  # Device-resident replay: when sampling is uniform (no PER feedback),
-  # mirror episodes into TPU HBM once and let the fused train program
-  # sample on-device — no per-update host->device transfer at all.
+  # Device-resident replay: mirror episodes into TPU HBM once and let the
+  # fused train program sample on-device — no per-update host->device
+  # transfer at all. With a prioritized replay config the sampling AND the
+  # priority feedback loop run device-side (jaxagent.train_device PER).
   mirror = None
   if (fused > 1 and getattr(args, 'device_replay', True)
-      and not hasattr(train_replay, 'prioritize')
       and hasattr(train_replay, 'store')):
     from ..replay.device_replay import StoreMirror
     capacity = int(getattr(args, 'device_replay_steps', 2e5))
     device_replay = agent.make_device_replay(capacity=capacity)
     mirror = StoreMirror(train_replay, device_replay)
+    if hasattr(train_replay, 'prioritize'):
+      if device_replay.prioritized:
+        print('Prioritized replay runs DEVICE-SIDE: the host PER table is '
+              'bypassed; priorities live in a device ring updated inside '
+              'the fused train dispatch.')
+      else:
+        print('WARNING: host replay is prioritized but the device replay '
+              'is not; falling back to host sampling.')
+        mirror = None
   while step < args.steps:
     on_device = False
     if mirror is not None:

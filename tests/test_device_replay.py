@@ -147,3 +147,83 @@ class TestTrainDevice:
       np.testing.assert_allclose(
           results[0][key], results[1][key], atol=1e-5, err_msg=key)
     env.close()
+
+
+class TestDevicePER:
+
+  def test_prioritized_sampling_matches_host_weighting(self):
+    """Empirical window-start distribution matches the host Prioritized
+    sampler's conv(|p|**exponent, ones(chunk)) window weighting."""
+    capacity, chunk, exponent = 64, 4, 0.5
+    replay = drlib.DeviceReplay(
+        capacity=capacity, chunk=chunk, block=8, prioritized=True)
+    replay.add_steps(make_steps(0, 32))
+    # Overwrite the unseen-initialized ring with a known priority pattern.
+    prios = np.zeros(capacity, np.float32)
+    prios[:32] = 0.01
+    prios[10] = 100.0  # One hot step.
+    replay.prios = jnp.asarray(prios)
+    # Expected window weights over valid starts [0, filled - chunk].
+    stepw = np.abs(prios[:32]) ** exponent
+    weights = np.convolve(stepw, np.ones(chunk), 'valid')  # starts 0..28
+    expected = weights / weights.sum()
+    draws = []
+    for seed in range(200):
+      out, rows = drlib.sample_prioritized(
+          replay.state, replay.prios, jax.random.PRNGKey(seed),
+          16, chunk, exponent, 0.0)
+      draws.append(np.asarray(rows[:, 0]))
+    starts = np.concatenate(draws)
+    hot = ((starts >= 7) & (starts <= 10)).mean()
+    hot_expected = expected[7:11].sum()
+    assert abs(hot - hot_expected) < 0.05, (hot, hot_expected)
+    # probs match the categorical weights for the drawn starts.
+    out, rows = drlib.sample_prioritized(
+        replay.state, replay.prios, jax.random.PRNGKey(0),
+        16, chunk, exponent, 0.0)
+    got = np.asarray(out['prob'][:, 0])
+    want = expected[np.asarray(rows[:, 0])]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+  def test_unseen_steps_sample_first(self):
+    replay = drlib.DeviceReplay(
+        capacity=64, chunk=4, block=8, prioritized=True)
+    replay.add_steps(make_steps(0, 32))
+    # Mark the first 24 steps as already-seen with tiny priority; the last
+    # block keeps UNSEEN_PRIORITY.
+    prios = np.full(64, 0.0, np.float32)
+    prios[:24] = 1e-4
+    prios[24:32] = drlib.UNSEEN_PRIORITY
+    replay.prios = jnp.asarray(prios)
+    out, rows = drlib.sample_prioritized(
+        replay.state, replay.prios, jax.random.PRNGKey(1), 32, 4, 0.5, 0.0)
+    starts = np.asarray(rows[:, 0])
+    # Nearly every draw should cover the unseen block (starts >= 21).
+    assert (starts >= 21).mean() > 0.95, starts
+
+  def test_train_device_per_updates_priorities(self):
+    from daydreamer_tpu.agents.dreamer import Agent
+    from tests.test_agent import make_config
+    config = make_config(task='dummy_discrete', batch_size=4,
+                         replay_chunk=6, imag_horizon=2, replay='prio')
+    env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+    agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+    from daydreamer_tpu import replay as replaylib
+    store = replaylib.RAMStore(int(1e4))
+    fixed = replaylib.FixedLength(store, chunk=6)
+    driver = ddt.Driver(env)
+    driver.on_step(fixed.add)
+    driver(ddt.RandomAgent(env.act_space).policy, steps=40)
+    device = agent.make_device_replay(capacity=128, block=8)
+    assert device.prioritized
+    drlib.StoreMirror(fixed, device).sync()
+    before = np.asarray(device.prios).copy()
+    assert (before[:device.filled] == drlib.UNSEEN_PRIORITY).all()
+    outs, state, mets = agent.train_device(device, steps=3)
+    assert np.isfinite(mets['model_loss_mean'])
+    after = np.asarray(device.prios)
+    # Sampled rows received fresh (finite, small) priorities from the
+    # train step; something must have changed from the unseen marker.
+    assert (after[:device.filled] != drlib.UNSEEN_PRIORITY).any()
+    assert np.isfinite(after).all()
+    env.close()
