@@ -381,12 +381,20 @@ class PickPlace(base.Env):
     else:
       image = np.zeros((64, 64, 3), np.uint8)
       depth = np.zeros((64, 64, 1), np.uint8)
-      # Render gripper and object positions into the image so the world
-      # model has visual signal even in dummy mode.
+      # Render gripper and object as blobs comparable in size to real
+      # camera footage (a 1-pixel marker is below what a 64x64 conv
+      # decoder can track through an MSE loss).
       gx, gy = ((self._pos + 1) / 2 * 63).astype(int)
       ox, oy = ((self._obj + 1) / 2 * 63).astype(int)
-      image[gy, gx] = (255, 0, 0)
-      image[oy, ox] = (0, 255, 0)
+
+      def blob(cy, cx, color, radius=3):
+        y0, y1 = max(cy - radius, 0), min(cy + radius + 1, 64)
+        x0, x1 = max(cx - radius, 0), min(cx + radius + 1, 64)
+        image[y0:y1, x0:x1] = color
+        depth[y0:y1, x0:x1] = 128
+
+      blob(oy, ox, (0, 255, 0))
+      blob(gy, gx, (255, 0, 0) if not self._grip else (255, 255, 0))
       cartesian = np.concatenate(
           [self._pos, [0.1 if self._hover else 0.0], np.zeros(3)]
       ).astype(np.float32)
