@@ -349,3 +349,54 @@ class TestMinecraftControls:
     assert out['camera'] == (0, 5)
     # Down is still allowed.
     assert smoother(dict(mt.NOOP, camera=(15, 0)))['camera'] == (15, 0)
+
+
+class TestSpheroTracker:
+
+  def test_tracker_locates_ball(self):
+    from daydreamer_tpu.envs.sphero import BallTracker
+    import numpy as np
+    frame = np.zeros((480, 640, 3), np.uint8)
+    frame[:] = (40, 35, 30)
+    cv_y, cv_x = 220, 330
+    yy, xx = np.ogrid[:480, :640]
+    frame[(xx - cv_x) ** 2 + (yy - cv_y) ** 2 <= 400] = (250, 250, 250)
+    tracker = BallTracker((0, 0, 160), (180, 80, 255), (193, 67), (480, 370))
+    pos, mask, found = tracker(frame)
+    assert found
+    expect = (np.array([cv_x, cv_y]) - (193, 67)) / (
+        np.array([480, 370]) - (193, 67))
+    np.testing.assert_allclose(pos, expect, atol=0.02)
+    # Ball removed: tracker reports last seen position, found=False.
+    empty = np.zeros((480, 640, 3), np.uint8)
+    pos2, _, found2 = tracker(empty)
+    assert not found2
+    np.testing.assert_allclose(pos2, pos)
+
+  def test_reward_geometry_and_success(self):
+    from daydreamer_tpu.envs.sphero import SpheroEnv, EnvConfig
+    import numpy as np
+    env = SpheroEnv(EnvConfig(length=10, seed=0))
+    obs = env.step({'reset': True, 'action': np.zeros(2, np.float32)})
+    # Park the simulated ball exactly on the goal: reward ~ 0, success.
+    env._camera.pos = np.asarray(env.cfg.goal, np.float64)
+    obs = env.step({'reset': False, 'action': np.zeros(2, np.float32)})
+    assert obs['reward'] > -0.05, obs['reward']
+    assert obs['log_success'] == 1
+    # Far corner: strongly negative reward, no success.
+    env._camera.pos = np.array([0.1, 0.9])
+    obs = env.step({'reset': False, 'action': np.zeros(2, np.float32)})
+    assert obs['reward'] < -0.5
+    assert obs['log_success'] == 0
+    env.close()
+
+  def test_actions_move_the_ball(self):
+    from daydreamer_tpu.envs.sphero import SpheroEnv, EnvConfig
+    import numpy as np
+    env = SpheroEnv(EnvConfig(length=50, seed=1))
+    env.step({'reset': True, 'action': np.zeros(2, np.float32)})
+    start = env._camera.pos.copy()
+    for _ in range(10):
+      env.step({'reset': False, 'action': np.ones(2, np.float32)})
+    assert np.linalg.norm(env._camera.pos - start) > 0.05
+    env.close()
