@@ -85,3 +85,9 @@ def _configure(name, lib):
         c.POINTER(c.c_double), c.POINTER(c.c_double),
         c.POINTER(c.c_double), c.POINTER(c.c_double), c.c_int,
         c.POINTER(c.c_double), c.c_int, c.c_double, c.c_double]
+    lib.qp_solve.restype = c.c_int
+    lib.qp_solve.argtypes = [
+        c.POINTER(c.c_double), c.POINTER(c.c_double),
+        c.POINTER(c.c_double), c.POINTER(c.c_double),
+        c.POINTER(c.c_double), c.c_int, c.c_int,
+        c.POINTER(c.c_double), c.c_int, c.c_double, c.c_double]

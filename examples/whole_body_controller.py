@@ -32,23 +32,41 @@ def skew(v):
       [-v[1], v[0], 0]])
 
 
-def stance_force_qp(desired_wrench, weight_force=1e-4):
-  """Solve min ||A f - w||^2 + reg ||f||^2 with box bounds on f.
+def friction_pyramid_constraints():
+  """True friction-pyramid rows (the reference's OSQP/qpOASES MPC
+  formulation): per leg |fx| <= MU fz, |fy| <= MU fz, 0 <= fz <= F_MAX."""
+  G = np.zeros((20, 12))
+  lo = np.zeros(20)
+  hi = np.zeros(20)
+  big = 1e20
+  for i in range(4):
+    r, c = 5 * i, 3 * i
+    G[r + 0, c + 0], G[r + 0, c + 2] = 1.0, -MU   # fx - mu fz <= 0
+    G[r + 1, c + 0], G[r + 1, c + 2] = -1.0, -MU  # -fx - mu fz <= 0
+    G[r + 2, c + 1], G[r + 2, c + 2] = 1.0, -MU   # fy - mu fz <= 0
+    G[r + 3, c + 1], G[r + 3, c + 2] = -1.0, -MU  # -fy - mu fz <= 0
+    G[r + 4, c + 2] = 1.0                         # 0 <= fz <= F_MAX
+    lo[r:r + 4] = -big
+    hi[r:r + 4] = 0.0
+    lo[r + 4], hi[r + 4] = 0.0, F_MAX
+  return G, lo, hi
 
-  f stacks 4 legs x 3 force components (body frame). The friction pyramid
-  is approximated by bounding tangential components to MU * F_z_nominal
-  (box relaxation, standard in stance controllers)."""
-  from daydreamer_tpu.native.qp import solve_box_qp
+
+def stance_force_qp(desired_wrench, weight_force=1e-4):
+  """Solve min ||A f - w||^2 + reg ||f||^2 under the friction pyramid.
+
+  f stacks 4 legs x 3 force components (body frame). Constraints are the
+  true pyramid rows |f_t| <= MU f_z coupled to the live normal force (not
+  a box relaxation), solved by the native linearly-constrained ADMM QP."""
+  from daydreamer_tpu.native.qp import solve_qp
   A = np.zeros((6, 12))
   for i, pos in enumerate(FOOT_POS):
     A[:3, 3 * i: 3 * i + 3] = np.eye(3)       # Net force.
     A[3:, 3 * i: 3 * i + 3] = skew(pos)       # Net torque.
   P = A.T @ A + weight_force * np.eye(12)
   q = -A.T @ desired_wrench
-  fz_nom = MASS * GRAVITY / 4
-  lo = np.tile([-MU * fz_nom, -MU * fz_nom, 0.0], 4)
-  hi = np.tile([MU * fz_nom, MU * fz_nom, F_MAX], 4)
-  forces, iters = solve_box_qp(2 * P, 2 * q, lo, hi)
+  G, lo, hi = friction_pyramid_constraints()
+  forces, iters = solve_qp(2 * P, 2 * q, G, lo, hi)
   residual = A @ forces - desired_wrench
   return forces.reshape(4, 3), iters, residual
 

@@ -317,3 +317,47 @@ class TestVendorWire:
     lib.a1_destroy(handle)
     thread.join(timeout=2)
     assert done
+
+
+class TestGeneralQP:
+  """Linearly-constrained ADMM QP (the OSQP problem class backing the
+  reference's MPC formulations)."""
+
+  def test_equality_constrained_matches_kkt(self):
+    from daydreamer_tpu.native.qp import solve_qp
+    rng = np.random.default_rng(0)
+    n, m = 6, 3
+    M = rng.normal(size=(n, n))
+    P = M @ M.T + np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    b = rng.normal(size=m)
+    x, iters = solve_qp(P, q, A, b, b)  # lo == hi: equality rows.
+    # Analytic KKT solution.
+    kkt = np.block([[P, A.T], [A, np.zeros((m, m))]])
+    sol = np.linalg.solve(kkt, np.concatenate([-q, b]))
+    np.testing.assert_allclose(x, sol[:n], atol=1e-4)
+    np.testing.assert_allclose(A @ x, b, atol=1e-5)
+
+  def test_inequality_active_set(self):
+    from daydreamer_tpu.native.qp import solve_qp
+    # min (x0-2)^2 + (x1-2)^2  s.t. x0 + x1 <= 1: optimum (0.5, 0.5).
+    P = 2 * np.eye(2)
+    q = np.array([-4.0, -4.0])
+    A = np.array([[1.0, 1.0]])
+    x, _ = solve_qp(P, q, A, [-1e20], [1.0])
+    np.testing.assert_allclose(x, [0.5, 0.5], atol=1e-4)
+
+  def test_friction_pyramid_stance(self):
+    """Whole-body stance allocation under the true friction pyramid:
+    supports the weight, obeys |f_t| <= mu*f_z row-wise."""
+    import examples.whole_body_controller as wbc
+    desired = np.array([30.0, 0.0, wbc.MASS * wbc.GRAVITY, 0.0, 0.0, 0.0])
+    forces, iters, residual = wbc.stance_force_qp(desired)
+    assert np.abs(residual[:3]).max() < 1.0, residual
+    for f in forces:
+      assert f[2] >= -1e-6
+      assert abs(f[0]) <= wbc.MU * f[2] + 1e-5, f
+      assert abs(f[1]) <= wbc.MU * f[2] + 1e-5, f
+    assert forces[:, 2].sum() == pytest.approx(
+        wbc.MASS * wbc.GRAVITY, rel=0.02)
