@@ -1,0 +1,138 @@
+"""Multi-host scaling efficiency measurement (BASELINE target: >=80%
+env-steps/s scaling from 1 host to N hosts).
+
+Two measurements, both hardware-free (virtual CPU devices):
+
+1. env-steps/s scaling: N independent actor processes, each driving a
+   batch of Dummy envs through the Driver with a random policy — the
+   framework-overhead path of per-host collection (actors are share-nothing
+   in the async design, so this is the number the BASELINE target names).
+   Efficiency = rate(N) / (N * rate(1)).
+
+2. learner weak scaling: the fused train step over the same 8-device mesh
+   run as 1 process vs 2 jax.distributed processes (4 local devices each),
+   isolating the multi-process runtime overhead of the SPMD learner.
+   Efficiency = updates/s(2 procs) / updates/s(1 proc).
+
+Usage: python scripts/multihost_bench.py [--hosts 2] [--seconds 10]
+Prints one JSON line per measurement.
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).parent.parent
+
+
+def actor_main(seconds):
+  """One collection host: batch of envs + driver + random policy."""
+  sys.path.insert(0, str(ROOT))
+  import daydreamer_tpu as ddt
+  from daydreamer_tpu.envs import load_env
+  env = load_env('dummy_discrete', amount=4, parallel='none', length=100)
+  agent = ddt.RandomAgent(env.act_space)
+  counter = {'steps': 0}
+  driver = ddt.Driver(env)
+  driver.on_step(lambda tran, worker: counter.update(
+      steps=counter['steps'] + 1))
+  deadline = time.time() + seconds
+  start = time.time()
+  while time.time() < deadline:
+    driver(agent.policy, steps=400)
+  rate = counter['steps'] / (time.time() - start)
+  env.close()
+  print(f'ACTOR_RATE {rate:.1f}', flush=True)
+
+
+def measure_actors(n, seconds):
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+  procs = [
+      subprocess.Popen(
+          [sys.executable, __file__, '--actor', '--seconds', str(seconds)],
+          stdout=subprocess.PIPE, text=True, env=env, cwd=str(ROOT))
+      for _ in range(n)
+  ]
+  rates = []
+  for proc in procs:
+    out, _ = proc.communicate(timeout=seconds * 10 + 120)
+    assert proc.returncode == 0, out
+    for line in out.splitlines():
+      if line.startswith('ACTOR_RATE '):
+        rates.append(float(line.split()[1]))
+  assert len(rates) == n, rates
+  return sum(rates)
+
+
+def free_port():
+  with socket.socket() as s:
+    s.bind(('localhost', 0))
+    return s.getsockname()[1]
+
+
+def measure_learner(processes, local_devices, steps=6):
+  env = dict(os.environ)
+  env.pop('XLA_FLAGS', None)
+  env['MULTIHOST_LOCAL_DEVICES'] = str(local_devices)
+  env['PYTHONPATH'] = str(ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+  port = free_port()
+  worker = str(ROOT / 'scripts' / 'multihost_worker.py')
+  procs = [
+      subprocess.Popen(
+          [sys.executable, worker, str(port), str(processes), str(pid),
+           str(steps)],
+          stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+          env=env, cwd=str(ROOT))
+      for pid in range(processes)
+  ]
+  rates = []
+  for proc in procs:
+    out, _ = proc.communicate(timeout=1200)
+    assert proc.returncode == 0, out[-4000:]
+    for line in out.splitlines():
+      if line.startswith('RESULT '):
+        rates.append(float(line.split()[3]))
+  assert len(rates) == processes, rates
+  return min(rates)  # The slowest process paces the SPMD program.
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--actor', action='store_true')
+  parser.add_argument('--hosts', type=int, default=2)
+  parser.add_argument('--seconds', type=float, default=10.0)
+  args = parser.parse_args()
+  if args.actor:
+    actor_main(args.seconds)
+    return
+
+  one = measure_actors(1, args.seconds)
+  many = measure_actors(args.hosts, args.seconds)
+  eff = many / (args.hosts * one)
+  print(json.dumps({
+      'metric': 'env_steps_per_s_scaling_efficiency',
+      'value': round(eff, 3),
+      'unit': f'ratio ({args.hosts} hosts vs {args.hosts}x single)',
+      'detail': {'rate_1host': round(one, 1),
+                 f'rate_{args.hosts}hosts': round(many, 1)},
+  }))
+
+  single = measure_learner(1, 8)
+  multi = measure_learner(2, 4)
+  print(json.dumps({
+      'metric': 'learner_updates_per_s_multiprocess_efficiency',
+      'value': round(multi / single, 3),
+      'unit': 'ratio (2-process jax.distributed vs 1-process, 8 devices)',
+      'detail': {'updates_1proc': round(single, 3),
+                 'updates_2proc': round(multi, 3)},
+  }))
+
+
+if __name__ == '__main__':
+  main()
