@@ -30,11 +30,13 @@ def main():
       r'.*\.units': 128,
       r'.*\.cnn_depth': 16,
       r'.*\.wd$': 0.0,
-      # Rolled scans keep the XLA program small: the shared compile
-      # service degrades to >25min for large programs; unroll=1 costs
-      # ~35% steady-state at this shape but compiles reliably.
-      'rssm.unroll': 1,
-      'imag_unroll': 1,
+      # Partial unroll: full unroll degrades the shared compile service
+      # to >25min; rolled scans (unroll=1) compile fastest but leave ~15%
+      # steady-state throughput on the table at this shape. (2,3) is the
+      # measured knee (scripts/unroll_experiment.py): ~+12% median
+      # updates/s for ~2x the compile time.
+      'rssm.unroll': 2,
+      'imag_unroll': 3,
   })
   env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
   step = ddt.Counter()

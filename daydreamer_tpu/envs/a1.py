@@ -31,7 +31,7 @@ VECTOR_DIM = 16
 class A1(base.Env):
 
   def __init__(self, task, repeat=1, length=1000, render_images=True,
-               size=(64, 64), seed=None):
+               size=(64, 64), seed=None, sensor_latency=0.0):
     assert task in ('sim', 'real', 'dummy'), task
     self._task = task
     self._repeat = repeat
@@ -45,7 +45,8 @@ class A1(base.Env):
     if task == 'sim':
       from .a1_model import A1Robot, RMATask
       self._robot = A1Robot(
-          action_repeat=repeat, render_size=self._size, seed=seed)
+          action_repeat=repeat, render_size=self._size, seed=seed,
+          sensor_latency=sensor_latency)
       self._reward_fn = RMATask()
     elif task == 'real':
       from .drivers.a1_driver import A1Driver

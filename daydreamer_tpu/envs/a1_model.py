@@ -24,6 +24,7 @@ Observations are the reference's sensor suite: 12 motor angles plus IMU
 [roll, pitch, roll_rate, pitch_rate] (reference: env_builder.py:62-73).
 """
 
+import collections
 import math
 
 import numpy as np
@@ -168,7 +169,7 @@ class A1Robot:
 
   def __init__(self, action_repeat=20, render_size=(64, 64), seed=None,
                enable_action_filter=True, enable_action_interpolation=True,
-               enable_clip_motor_commands=True):
+               enable_clip_motor_commands=True, sensor_latency=0.0):
     import os
     os.environ.setdefault('MUJOCO_GL', 'egl')  # Headless rendering.
     import mujoco
@@ -189,6 +190,12 @@ class A1Robot:
     self._last_target = None
     self._step_counter = 0
     self._renderer = None
+    # Sensor latency emulation (reference minitaur.py delayed-observation
+    # buffer): proprio observations read the state `sensor_latency` seconds
+    # in the past, snapshotted once per physics substep.
+    self._latency_substeps = int(round(sensor_latency / SIM_TIMESTEP))
+    self._obs_history = collections.deque(
+        maxlen=self._latency_substeps + 1)
 
   # -- State readers (reference Minitaur observation getters). --
 
@@ -220,10 +227,18 @@ class A1Robot:
     gyro = self.data.sensordata[:3]  # Body-frame angular velocity.
     return np.array([roll, pitch, gyro[0], gyro[1]], np.float32)
 
-  def observation(self):
-    """Reference sensor suite: motor angles ++ IMU (env_builder.py:62-73)."""
+  def _raw_observation(self):
     return np.concatenate([
         self.motor_angles.astype(np.float32), self.imu()])
+
+  def observation(self):
+    """Reference sensor suite: motor angles ++ IMU (env_builder.py:62-73),
+    delayed by the emulated sensor latency when one is configured."""
+    if not self._latency_substeps:
+      return self._raw_observation()
+    if not self._obs_history:
+      self._obs_history.append(self._raw_observation())
+    return self._obs_history[0]
 
   # -- Motor pipeline. --
 
@@ -238,6 +253,8 @@ class A1Robot:
     torque = np.clip(torque, -MAX_TORQUE, MAX_TORQUE)
     self.data.qfrc_applied[6:] = torque
     self._mujoco.mj_step(self.model, self.data)
+    if self._latency_substeps:
+      self._obs_history.append(self._raw_observation())
 
   def apply_action(self, action):
     """One env step: action in [-1,1]^12 -> `action_repeat` PD substeps."""
@@ -275,6 +292,7 @@ class A1Robot:
       self._filter.reset()
     self._last_target = None
     self._step_counter = 0
+    self._obs_history.clear()
 
   def _safe_joints_reset(self, max_substeps=100):
     """Move joints within bounds before the episode (minitaur.py:421-448)."""

@@ -66,26 +66,36 @@ class Optimizer(Module):
           f'{name}_loss': loss,
           f'{name}_grad_norm': jnp.zeros((), f32),
           f'{name}_grad_steps': f32(step),
+          f'{name}_overflow': jnp.zeros((), f32),
       }
       return metrics, aux
     keys = sorted({k for m in modules for k in m.keys(trainable=True)})
     assert keys, [m.path for m in modules]
     loss, params, grads, aux = nj.value_and_grad(lossfn, keys, *args)
     step = self.value('step', jnp.zeros((), jnp.int32), trainable=False)
-    step = step + 1
-    self.write('step', step)
-    t = f32(step)
     lr = self._lr
-    if self._warmup:
-      lr = lr * jnp.clip(t / self._warmup, 0.0, 1.0)
 
-    # Global-norm clipping.
+    # Global-norm clipping. A nonfinite norm means some gradient overflowed
+    # or produced a NaN; in that case the whole update is skipped so neither
+    # the params nor the Adam moments absorb the poison, and the event is
+    # surfaced as an `_overflow` metric (numerics sanitizer role of the
+    # reference's loss-scale overflow skip + check_numerics,
+    # tfutils.py:225-250).
     norm = jnp.sqrt(sum(
         jnp.sum(jnp.square(f32(g))) for g in grads.values()))
+    finite = jnp.isfinite(norm)
+    # Skipped updates do not advance the Adam step either, so the bias
+    # correction stays consistent with the number of moment updates.
+    step = step + finite.astype(jnp.int32)
+    self.write('step', step)
+    t = f32(step)
+    if self._warmup:
+      lr = self._lr * jnp.clip(t / self._warmup, 0.0, 1.0)
     if self._clip:
       scale = jnp.minimum(1.0, self._clip / jnp.maximum(norm, 1e-8))
     else:
       scale = jnp.ones((), f32)
+    scale = jnp.where(finite, scale, 0.0)
 
     for key in keys:
       grad = f32(grads[key]) * scale
@@ -94,8 +104,9 @@ class Optimizer(Module):
                      trainable=False)
       v = self.value(f'v/{slot}', jnp.zeros_like(params[key]),
                      trainable=False)
-      m = self._beta1 * m + (1 - self._beta1) * grad
-      v = self._beta2 * v + (1 - self._beta2) * grad * grad
+      m = jnp.where(finite, self._beta1 * m + (1 - self._beta1) * grad, m)
+      v = jnp.where(
+          finite, self._beta2 * v + (1 - self._beta2) * grad * grad, v)
       self.write(f'm/{slot}', m)
       self.write(f'v/{slot}', v)
       mhat = m / (1 - self._beta1 ** t)
@@ -103,12 +114,14 @@ class Optimizer(Module):
       param = ctx.state[key]
       if self._wd and self._wd_pattern.search(key):
         param = (1 - self._wd * lr) * param
-      ctx.state[key] = param - lr * mhat / (jnp.sqrt(vhat) + self._eps)
+      update = param - lr * mhat / (jnp.sqrt(vhat) + self._eps)
+      ctx.state[key] = jnp.where(finite, update, ctx.state[key])
 
     name = self.path.rsplit('/', 1)[-1]
     metrics = {
         f'{name}_loss': loss,
         f'{name}_grad_norm': norm,
         f'{name}_grad_steps': f32(step),
+        f'{name}_overflow': 1.0 - f32(finite),
     }
     return metrics, aux

@@ -257,6 +257,29 @@ class TestA1Model:
     assert (q >= m.MOTOR_MINS + 0.02).all(), q
     robot.close()
 
+  def test_sensor_latency_delays_observation(self):
+    # With latency configured, observation() reads the state snapshotted
+    # `latency` seconds in the past (reference minitaur.py's delayed
+    # observation buffer); zero latency reads the live state.
+    from daydreamer_tpu.envs import a1_model as m
+    lag = 5  # Substeps.
+    robot = m.A1Robot(
+        action_repeat=10, seed=0, sensor_latency=lag * m.SIM_TIMESTEP)
+    robot.reset()
+    seen = []
+    push = np.clip(m.normalize_action(m.STANDING_POSE) + 0.3, -1, 1)
+    for _ in range(4):
+      robot.apply_action(push)
+      seen.append(robot.observation().copy())
+    live = robot._raw_observation()
+    delayed = robot.observation()
+    assert not np.allclose(delayed, live)  # Joints are still moving.
+    # The buffer holds exactly lag+1 snapshots: the head is lag substeps old.
+    assert len(robot._obs_history) == lag + 1
+    robot.reset()
+    assert not robot._obs_history  # History must not leak across episodes.
+    robot.close()
+
   def test_reward_velocity_term(self):
     from daydreamer_tpu.envs import a1_model as m
     robot = m.A1Robot(action_repeat=20, seed=0)

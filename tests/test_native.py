@@ -280,11 +280,13 @@ class TestVendorWire:
     lib = load('robot_interface')
     local, remote = free_port(), free_port()
     done = []
+    bound = threading.Event()
 
     def robot_sim():
       sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
       sock.bind(('127.0.0.1', remote))
-      sock.settimeout(2.0)
+      sock.settimeout(8.0)
+      bound.set()
       data, _ = sock.recvfrom(4096)
       assert len(data) == LOWCMD_SIZE
       assert data[0] == 0xFF  # LOWLEVEL
@@ -305,7 +307,11 @@ class TestVendorWire:
 
     thread = threading.Thread(target=robot_sim, daemon=True)
     thread.start()
-    handle = lib.a1_create_wire(b'127.0.0.1', local, remote, 1000, 1)
+    # UDP is fire-and-forget: the sim socket must be bound before the
+    # command goes out or the packet is silently dropped (flaky under a
+    # loaded scheduler).
+    assert bound.wait(timeout=8.0)
+    handle = lib.a1_create_wire(b'127.0.0.1', local, remote, 4000, 1)
     cmd = np.zeros((12, 5), np.float32)
     cmd[:, 0] = np.array([0.0, 0.9, -1.8] * 4, np.float32)
     buf = (ctypes.c_float * 60)(*cmd.reshape(-1))

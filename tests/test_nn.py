@@ -137,6 +137,30 @@ class TestOptimizer:
       losses.append(float(metrics['opt_loss']))
     assert losses[-1] < losses[0] * 0.5
 
+  def test_overflow_skips_update(self):
+    # Nonfinite gradients must leave params and Adam moments untouched and
+    # surface as the `_overflow` metric; the next finite step must apply
+    # normally (sanitizer role of the reference's overflow skip,
+    # tfutils.py:225-250).
+    layer = nn.Linear('oflin', 1, bias=False)
+    opt = nn.Optimizer('ofopt', lr=0.1)
+    x = jnp.ones((4, 3))
+    def train(bad):
+      def lossfn():
+        loss = (layer(x) ** 2).mean()
+        return loss * jnp.inf if bad else loss
+      return opt(lossfn, [layer])[0]
+    _, state = nn.pure(lambda: train(False))({}, 0, create=True)
+    before = {k: np.asarray(v) for k, v in state.items()}
+    metrics, state = nn.pure(lambda: train(True))(state, 0)
+    assert float(metrics['ofopt_overflow']) == 1.0
+    for key, value in before.items():
+      assert np.allclose(value, np.asarray(state[key]), equal_nan=True), key
+    metrics, state = nn.pure(lambda: train(False))(state, 1)
+    assert float(metrics['ofopt_overflow']) == 0.0
+    assert not np.allclose(
+        before['oflin/kernel'], np.asarray(state['oflin/kernel']))
+
   def test_weight_decay_pattern(self):
     layer = nn.Linear('wdlin', 2)
     opt = nn.Optimizer('wdopt', lr=0.0, wd=0.5, wd_pattern='kernel')
