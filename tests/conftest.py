@@ -16,6 +16,19 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache: most of the suite's wall-clock is repeated
+# CPU jit compiles of near-identical tiny agents, so repeat runs get the
+# compiled programs back from disk. Safe on CPU (the opt-in env-var gate in
+# jaxagent._setup exists for tunneled TPU backends, not for this path).
+cache_dir = os.environ.setdefault(
+    'DAYDREAMER_COMPILE_CACHE', '/tmp/ddt_test_compile_cache')
+try:
+  os.makedirs(cache_dir, exist_ok=True)
+  jax.config.update('jax_compilation_cache_dir', cache_dir)
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:
+  pass
+
 import pytest  # noqa: E402
 
 
