@@ -72,6 +72,7 @@ def main():
   # Warmup: creation + compile of the fused sample+train program.
   start = time.time()
   outs, state, mets = agent.train_device(replay, K)
+  jax.block_until_ready(state)  # Include the first execution, not just trace.
   _ = mets['model_loss_mean']
   compile_time = time.time() - start
 

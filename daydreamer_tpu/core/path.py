@@ -1,51 +1,155 @@
-"""URI-dispatching path abstraction (reference: embodied/core/path.py:8-207).
+"""Filesystem paths with pluggable storage backends.
 
-``Path('...')`` dispatches on the URI scheme: local filesystems are served by
-``LocalPath``; ``gs://`` (and other fsspec-supported remotes) by
-``FSSpecPath`` when fsspec/gcsfs is importable — the TPU-native replacement
-for the reference's tf.io.gfile backend. Registration is open: call
-``Path.register(scheme, cls)``.
+Fills the role of the reference's URI path layer (reference:
+embodied/core/path.py:8-207) with a different shape: instead of one
+subclass per filesystem, ``Path`` is a single immutable value type.  All
+path *algebra* (join, parent, name, suffix) is plain string manipulation
+on the ``scheme://key`` form, and every *IO* call is routed at call time
+to a storage backend picked by scheme.  Backends are tiny objects with an
+``open/exists/isfile/isdir/makedirs/unlink/deltree/copy/list`` surface:
+``local`` wraps the ``os`` module; every other scheme (``gs://``,
+``s3://``, ...) is served by one fsspec-backed adapter when fsspec is
+importable.  New schemes plug in via ``set_backend(scheme, backend)``.
 """
 
-import contextlib
-import glob as globlib
+import fnmatch
 import os
-import re
+import posixpath
 import shutil
 
 
+class LocalBackend:
+  """Storage operations on the local filesystem (the `os` module)."""
+
+  def open(self, path, mode):
+    return open(path, mode)
+
+  def exists(self, path):
+    return os.path.exists(path)
+
+  def isfile(self, path):
+    return os.path.isfile(path)
+
+  def isdir(self, path):
+    return os.path.isdir(path)
+
+  def makedirs(self, path):
+    os.makedirs(path, exist_ok=True)
+
+  def unlink(self, path):
+    os.remove(path)
+
+  def deltree(self, path):
+    shutil.rmtree(path)
+
+  def copy(self, src, dst):
+    if os.path.isdir(src):
+      shutil.copytree(src, dst, dirs_exist_ok=True)
+    else:
+      shutil.copy(src, dst)
+
+  def list(self, path):
+    try:
+      return os.listdir(path)
+    except FileNotFoundError:
+      return []
+
+  def resolve(self, path):
+    return os.path.abspath(os.path.expanduser(path))
+
+
+class FsspecBackend:
+  """One adapter for every fsspec-supported remote scheme (gs, s3, ...)."""
+
+  def __init__(self, scheme):
+    import fsspec
+    self._fs = fsspec.filesystem(scheme)
+    self._scheme = scheme
+
+  def _key(self, path):
+    return path.split('://', 1)[-1]
+
+  def open(self, path, mode):
+    return self._fs.open(self._key(path), mode)
+
+  def exists(self, path):
+    return self._fs.exists(self._key(path))
+
+  def isfile(self, path):
+    return self._fs.isfile(self._key(path))
+
+  def isdir(self, path):
+    return self._fs.isdir(self._key(path))
+
+  def makedirs(self, path):
+    self._fs.makedirs(self._key(path), exist_ok=True)
+
+  def unlink(self, path):
+    self._fs.rm(self._key(path))
+
+  def deltree(self, path):
+    self._fs.rm(self._key(path), recursive=True)
+
+  def copy(self, src, dst):
+    self._fs.copy(self._key(src), self._key(dst), recursive=True)
+
+  def list(self, path):
+    return [posixpath.basename(p) for p in self._fs.ls(
+        self._key(path), detail=False)]
+
+  def resolve(self, path):
+    return path
+
+
+_BACKENDS = {'': LocalBackend(), 'file': LocalBackend()}
+
+
+def set_backend(scheme, backend):
+  """Install `backend` for `scheme` (e.g. a fake filesystem in tests)."""
+  _BACKENDS[scheme] = backend
+
+
+def get_backend(scheme):
+  if scheme not in _BACKENDS:
+    try:
+      _BACKENDS[scheme] = FsspecBackend(scheme)
+    except (ImportError, ValueError):
+      raise NotImplementedError(
+          f'No storage backend for scheme {scheme!r} '
+          '(install fsspec for remote filesystems).') from None
+  return _BACKENDS[scheme]
+
+
+def _canonical(text):
+  """Normalize to `scheme, key` with no trailing slash and no './' noise."""
+  text = str(text)
+  scheme, sep, key = text.partition('://')
+  if not sep:
+    scheme, key = '', os.path.expanduser(text)
+  while key.startswith('./'):
+    key = key[2:]
+  if len(key) > 1:
+    key = key.rstrip('/') or '/'
+  return scheme, key or '.'
+
+
 class Path:
+  """Immutable `scheme://key` path value; IO delegated per scheme."""
 
-  filesystems = []  # List of (regex, cls) pairs, first match wins.
+  __slots__ = ('_scheme', '_key')
 
-  def __new__(cls, path):
-    if cls is not Path:
-      return super().__new__(cls)
-    path = str(path)
-    for pattern, impl in cls.filesystems:
-      if re.match(pattern, path):
-        obj = super().__new__(impl)
-        obj.__init__(path)
-        return obj
-    raise NotImplementedError(f'No filesystem supports: {path}')
+  def __init__(self, path='.'):
+    if isinstance(path, Path):
+      self._scheme, self._key = path._scheme, path._key
+    else:
+      self._scheme, self._key = _canonical(path)
 
-  @classmethod
-  def register(cls, pattern, impl):
-    cls.filesystems.insert(0, (pattern, impl))
+  # -- algebra (pure string manipulation) --
 
-  def __getnewargs__(self):
-    return (self._path,)
-
-  def __init__(self, path):
-    assert isinstance(path, str)
-    path = re.sub(r'^\./*', '', path)  # Remove leading dot or dot slashes.
-    path = re.sub(r'(?<=[^/])/$', '', path)  # Remove single trailing slash.
-    path = path or '.'  # Empty path is represented by a dot.
-    self._path = path
-
-  def __truediv__(self, part):
-    sep = '' if self._path.endswith('/') else '/'
-    return type(self)(f'{self._path}{sep}{str(part)}')
+  def __str__(self):
+    if self._scheme:
+      return f'{self._scheme}://{self._key}'
+    return self._key
 
   def __repr__(self):
     return f'Path({str(self)})'
@@ -53,43 +157,50 @@ class Path:
   def __fspath__(self):
     return str(self)
 
+  def __truediv__(self, part):
+    return type(self)(f'{str(self)}/{str(part)}')
+
   def __eq__(self, other):
-    return self._path == other._path
+    return str(self) == str(other)
 
   def __lt__(self, other):
-    return self._path < other._path
+    return str(self) < str(other)
 
   def __hash__(self):
-    return hash(self._path)
+    return hash(str(self))
 
-  def __str__(self):
-    return self._path
+  def __reduce__(self):
+    return (type(self), (str(self),))
 
   @property
   def parent(self):
-    if '/' not in self._path:
-      return type(self)('.')
-    parent = self._path.rsplit('/', 1)[0]
-    return type(self)(parent or '/')
+    head = posixpath.dirname(self._key)
+    if self._scheme:
+      return type(self)(f'{self._scheme}://{head}')
+    return type(self)(head or ('/' if self._key.startswith('/') else '.'))
 
   @property
   def name(self):
-    if '/' not in self._path:
-      return self._path
-    return self._path.rsplit('/', 1)[1]
+    return posixpath.basename(self._key)
 
   @property
   def stem(self):
-    return self.name.split('.', 1)[0] if '.' in self.name else self.name
+    return posixpath.splitext(self.name)[0]
 
   @property
   def suffix(self):
-    if '.' in self.name:
-      return '.' + self.name.rsplit('.', 1)[1]
-    return ''
+    return posixpath.splitext(self.name)[1]
+
+  # -- IO (delegated to the scheme's backend) --
+
+  @property
+  def _backend(self):
+    return get_backend(self._scheme)
+
+  def open(self, mode='r'):
+    return self._backend.open(str(self), mode)
 
   def read(self, mode='r'):
-    assert mode in 'r rb'.split(), mode
     with self.open(mode) as f:
       return f.read()
 
@@ -100,129 +211,36 @@ class Path:
     return self.read('rb')
 
   def write(self, content, mode='w'):
-    assert mode in 'w a wb ab'.split(), mode
     with self.open(mode) as f:
       f.write(content)
 
-  def open(self, mode='r'):
-    raise NotImplementedError
-
-  def absolute(self):
-    raise NotImplementedError
-
-  def glob(self, pattern):
-    raise NotImplementedError
-
   def exists(self):
-    raise NotImplementedError
+    return self._backend.exists(str(self))
 
   def isfile(self):
-    raise NotImplementedError
+    return self._backend.isfile(str(self))
 
   def isdir(self):
-    raise NotImplementedError
+    return self._backend.isdir(str(self))
 
   def mkdirs(self):
-    raise NotImplementedError
-
-  def remove(self):
-    raise NotImplementedError
-
-  def rmtree(self):
-    raise NotImplementedError
-
-  def copy(self, dest):
-    raise NotImplementedError
-
-
-class LocalPath(Path):
-
-  def __init__(self, path):
-    super().__init__(os.path.expanduser(str(path)))
-
-  @contextlib.contextmanager
-  def open(self, mode='r'):
-    with open(str(self), mode=mode) as f:
-      yield f
-
-  def absolute(self):
-    return type(self)(os.path.abspath(str(self)))
-
-  def glob(self, pattern):
-    for path in globlib.glob(f'{str(self)}/{pattern}'):
-      yield type(self)(path)
-
-  def exists(self):
-    return os.path.exists(str(self))
-
-  def isfile(self):
-    return os.path.isfile(str(self))
-
-  def isdir(self):
-    return os.path.isdir(str(self))
-
-  def mkdirs(self):
-    os.makedirs(str(self), exist_ok=True)
-
-  def remove(self):
-    os.remove(str(self))
-
-  def rmtree(self):
-    shutil.rmtree(str(self))
-
-  def copy(self, dest):
-    if self.isfile():
-      shutil.copy(str(self), str(dest))
-    else:
-      shutil.copytree(str(self), str(dest), dirs_exist_ok=True)
-
-
-class FSSpecPath(Path):
-  """Remote path backed by fsspec, e.g. gs:// GCS buckets for TPU VM runs."""
-
-  def __init__(self, path):
-    super().__init__(str(path))
-    import fsspec
-    self._fs = fsspec.filesystem(self._path.split('://', 1)[0])
-
-  @contextlib.contextmanager
-  def open(self, mode='r'):
-    with self._fs.open(str(self), mode) as f:
-      yield f
-
-  def absolute(self):
+    self._backend.makedirs(str(self))
     return self
 
-  def glob(self, pattern):
-    for path in self._fs.glob(f'{str(self)}/{pattern}'):
-      scheme = self._path.split('://', 1)[0]
-      yield type(self)(f'{scheme}://{path}')
-
-  def exists(self):
-    return self._fs.exists(str(self))
-
-  def isfile(self):
-    return self._fs.isfile(str(self))
-
-  def isdir(self):
-    return self._fs.isdir(str(self))
-
-  def mkdirs(self):
-    self._fs.makedirs(str(self), exist_ok=True)
-
   def remove(self):
-    self._fs.rm(str(self))
+    self._backend.unlink(str(self))
 
   def rmtree(self):
-    self._fs.rm(str(self), recursive=True)
+    self._backend.deltree(str(self))
 
   def copy(self, dest):
-    self._fs.copy(str(self), str(dest), recursive=True)
+    self._backend.copy(str(self), str(Path(dest)))
 
+  def glob(self, pattern):
+    """Children of this directory matching `pattern` (non-recursive)."""
+    for entry in self._backend.list(str(self)):
+      if fnmatch.fnmatch(entry, pattern):
+        yield self / entry
 
-Path.register(r'.*', LocalPath)
-try:
-  import fsspec  # noqa: F401
-  Path.register(r'^(gs|s3|az)://', FSSpecPath)
-except ImportError:
-  pass
+  def absolute(self):
+    return type(self)(self._backend.resolve(str(self)))

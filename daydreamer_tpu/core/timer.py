@@ -1,67 +1,82 @@
-"""Section profiler with scopes and method wrapping.
+"""Wall-clock profiler for the host-side hot loops.
 
-Parity with the reference profiler (reference: embodied/core/timer.py:8-59):
-context-manager ``scope(name)`` plus ``wrap(name, obj, methods)`` which
-monkey-patches hot methods; ``stats()`` reports frac/min/avg/max/count per
-section. Additionally exposes optional jax.profiler trace hooks for TPU runs.
+Covers the reference profiler's capability (reference:
+embodied/core/timer.py:8-59) with a different mechanism: instead of
+keeping per-section duration lists, the timer appends flat
+``(section, elapsed)`` events to one log as they happen and folds the log
+into summary statistics only when ``stats()`` is called.  Sections come
+from explicit ``scope(name)`` context managers or from ``wrap``, which
+rebinds an object's hot methods to timed versions.  A ``profile`` scope
+additionally captures a jax.profiler device trace for TPU work.
 """
 
-import collections
 import contextlib
+import functools
+import math
 import time
-
-import numpy as np
 
 
 class Timer:
 
   def __init__(self, columns=('frac', 'avg', 'min', 'max', 'count')):
-    available = ('frac', 'avg', 'min', 'max', 'sum', 'count')
-    assert all(x in available for x in columns), columns
-    self._columns = columns
-    self._durations = collections.defaultdict(list)
-    self._start = time.perf_counter()
+    known = {'frac', 'avg', 'min', 'max', 'sum', 'count'}
+    unknown = set(columns) - known
+    assert not unknown, unknown
+    self._columns = tuple(columns)
+    self._events = []  # Flat append-only log of (section, seconds).
+    self._epoch = time.perf_counter()
 
   @contextlib.contextmanager
   def scope(self, name):
-    start = time.perf_counter()
+    begin = time.perf_counter()
     try:
       yield
     finally:
-      stop = time.perf_counter()
-      self._durations[name].append(stop - start)
+      self._events.append((name, time.perf_counter() - begin))
 
-  def wrap(self, name, obj, methods):
+  def wrap(self, prefix, obj, methods):
+    """Rebind `obj.<method>` to a version that logs under `prefix.method`."""
     for method in methods:
-      decorator = self.scope(f'{name}.{method}')
-      setattr(obj, method, decorator(getattr(obj, method)))
+      inner = getattr(obj, method)
+
+      def timed(*args, __inner=inner, __name=f'{prefix}.{method}', **kwargs):
+        begin = time.perf_counter()
+        try:
+          return __inner(*args, **kwargs)
+        finally:
+          self._events.append((__name, time.perf_counter() - begin))
+
+      setattr(obj, method, functools.wraps(inner)(timed))
 
   def stats(self, reset=True, log=False):
-    now = time.perf_counter()
-    passed = now - self._start
-    metrics = {}
-    metrics['duration'] = passed
-    for name, durs in self._durations.items():
-      available = {}
-      available['count'] = len(durs)
-      available['sum'] = np.sum(durs)
-      available['frac'] = np.sum(durs) / passed
-      if len(durs):
-        available['avg'] = np.mean(durs)
-        available['min'] = np.min(durs)
-        available['max'] = np.max(durs)
-      for key, value in available.items():
-        if key in self._columns:
-          metrics[f'{name}_{key}'] = value
+    """Fold the event log into per-section summary metrics."""
+    elapsed = time.perf_counter() - self._epoch
+    folded = {}  # section -> [count, total, lo, hi]
+    for section, seconds in self._events:
+      acc = folded.get(section)
+      if acc is None:
+        folded[section] = [1, seconds, seconds, seconds]
+      else:
+        acc[0] += 1
+        acc[1] += seconds
+        acc[2] = min(acc[2], seconds)
+        acc[3] = max(acc[3], seconds)
+    metrics = {'duration': elapsed}
+    for section, (count, total, lo, hi) in folded.items():
+      values = dict(
+          count=count, sum=total, frac=total / elapsed,
+          avg=total / count, min=lo, max=hi)
+      for column in self._columns:
+        metrics[f'{section}_{column}'] = values[column]
     if log:
-      self._log(metrics)
+      self._print(folded, metrics)
     if reset:
       self.reset()
     return metrics
 
   def reset(self):
-    self._durations.clear()
-    self._start = time.perf_counter()
+    self._events.clear()
+    self._epoch = time.perf_counter()
 
   @contextlib.contextmanager
   def profile(self, logdir):
@@ -74,13 +89,17 @@ class Timer:
     finally:
       jax.profiler.stop_trace()
 
-  def _log(self, metrics):
-    names = self._durations.keys()
-    names = sorted(names, key=lambda k: -metrics.get(f'{k}_frac', 0))
-    print('Timer:'.ljust(20), ' '.join(x.rjust(8) for x in self._columns))
-    for name in names:
-      values = [metrics.get(f'{name}_{col}', np.nan) for col in self._columns]
-      print(f'{name.ljust(20)}', ' '.join(f'{x:8.4f}' for x in values))
+  def _print(self, folded, metrics):
+    header = 'Timer:'.ljust(20) + ' '.join(
+        column.rjust(8) for column in self._columns)
+    print(header)
+    by_cost = sorted(folded, key=lambda s: -folded[s][1])
+    for section in by_cost:
+      cells = []
+      for column in self._columns:
+        value = metrics.get(f'{section}_{column}', math.nan)
+        cells.append(f'{value:8.4f}')
+      print(section.ljust(20), ' '.join(cells))
 
 
 global_timer = Timer()

@@ -193,6 +193,7 @@ class A1Robot:
     # Sensor latency emulation (reference minitaur.py delayed-observation
     # buffer): proprio observations read the state `sensor_latency` seconds
     # in the past, snapshotted once per physics substep.
+    assert sensor_latency >= 0, sensor_latency
     self._latency_substeps = int(round(sensor_latency / SIM_TIMESTEP))
     self._obs_history = collections.deque(
         maxlen=self._latency_substeps + 1)

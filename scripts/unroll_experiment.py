@@ -55,6 +55,7 @@ def main():
 
   start = time.time()
   outs, state, mets = agent.train_device(replay, K)
+  jax.block_until_ready(state)  # Include the first execution, not just trace.
   _ = mets['model_loss_mean']
   compile_time = time.time() - start
   print(f'unroll=({rssm_unroll},{imag_unroll}) '

@@ -20,8 +20,16 @@ jax.config.update('jax_platforms', 'cpu')
 # CPU jit compiles of near-identical tiny agents, so repeat runs get the
 # compiled programs back from disk. Safe on CPU (the opt-in env-var gate in
 # jaxagent._setup exists for tunneled TPU backends, not for this path).
+# Note: setting DAYDREAMER_COMPILE_CACHE also flips that opt-in gate for
+# every agent built in tests. The default is namespaced per user so a cache
+# dir owned by another account cannot silently break writes.
+import getpass  # noqa: E402
+import tempfile  # noqa: E402
 cache_dir = os.environ.setdefault(
-    'DAYDREAMER_COMPILE_CACHE', '/tmp/ddt_test_compile_cache')
+    'DAYDREAMER_COMPILE_CACHE',
+    os.path.join(
+        tempfile.gettempdir(),
+        f'ddt_test_compile_cache_{getpass.getuser()}'))
 try:
   os.makedirs(cache_dir, exist_ok=True)
   jax.config.update('jax_compilation_cache_dir', cache_dir)
