@@ -127,7 +127,7 @@ class SAC:
         for p, tp in zip(net.parameters(), target_net.parameters()):
           tp.mul_(1 - self.tau).add_(self.tau * p)
     return dict(
-        q_loss=float(q_loss), actor_loss=float(actor_loss),
+        q_loss=float(q_loss.detach()), actor_loss=float(actor_loss.detach()),
         alpha=float(self.alpha))
 
 
@@ -172,10 +172,11 @@ def main(argv=None):
   flags = embodied.Flags(
       task='a1_sim', logdir='/dev/null', steps=int(1e6), train_fill=5000,
       train_every=1, batch_size=256, length=0, repeat=1, seed=0,
+      render=False,  # Proprio-only agent; skip the 45ms/step EGL render.
   ).parse(argv)
   env = envslib.load_env(
       flags.task, amount=1, parallel='none', repeat=flags.repeat,
-      length=flags.length)
+      length=flags.length, render=flags.render)
   keys = obs_keys(env)
   obs_dim = sum(
       int(np.prod(env.obs_space[k].shape)) or 1 for k in keys)

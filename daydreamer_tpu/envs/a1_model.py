@@ -228,6 +228,46 @@ class A1Robot:
     gyro = self.data.sensordata[:3]  # Body-frame angular velocity.
     return np.array([roll, pitch, gyro[0], gyro[1]], np.float32)
 
+  @property
+  def base_rpy(self):
+    """(roll, pitch, yaw) of the trunk."""
+    w, x, y, z = self.base_quaternion
+    roll, pitch = quat_to_roll_pitch(self.base_quaternion)
+    yaw = math.atan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return np.array([roll, pitch, yaw])
+
+  @property
+  def base_angular_velocity(self):
+    """World-frame trunk angular velocity."""
+    # MuJoCo free-joint qvel stores angular velocity in the body frame.
+    return self.rot_mat @ self.data.qvel[3:6]
+
+  @property
+  def time_s(self):
+    return float(self.data.time)
+
+  def foot_contacts(self):
+    """Which feet currently touch the floor (FR, FL, RR, RL)."""
+    floor = self.model.geom('floor').id
+    feet = [self.model.geom(f'{name}_foot').id for name, _, _ in LEGS]
+    touching = [False] * 4
+    for contact in self.data.contact[:self.data.ncon]:
+      pair = {contact.geom1, contact.geom2}
+      if floor in pair:
+        for i, foot in enumerate(feet):
+          if foot in pair:
+            touching[i] = True
+    return touching
+
+  def substep_torque(self, torque):
+    """Advance one physics substep applying raw joint torques (used by the
+    whole-body controller; bypasses the PD position pipeline)."""
+    torque = np.clip(torque, -MAX_TORQUE, MAX_TORQUE)
+    self.data.qfrc_applied[6:] = torque
+    self._mujoco.mj_step(self.model, self.data)
+    if self._latency_substeps:
+      self._obs_history.append(self._raw_observation())
+
   def _raw_observation(self):
     return np.concatenate([
         self.motor_angles.astype(np.float32), self.imu()])

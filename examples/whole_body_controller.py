@@ -76,6 +76,73 @@ def command_to_wrench(vx, vy, wz, kx=20.0, ky=20.0, kw=6.0):
   return np.array([kx * vx, ky * vy, MASS * GRAVITY, 0.0, 0.0, kw * wz])
 
 
+def trot_demo(seconds=12.0):
+  """Trot the MuJoCo A1 through a scripted command profile (reference:
+  whole_body_controller_example.py _generate_example_linear_angular_speed
+  steps through forward / lateral / turning segments)."""
+  from daydreamer_tpu.control import LocomotionController, run_sim
+  from daydreamer_tpu.envs.a1_model import A1Robot
+  robot = A1Robot(action_repeat=1, seed=0)
+  robot.reset()
+  controller = LocomotionController()
+  controller.reset()
+  segments = [
+      ((0.0, 0.0), 0.0, 'settle'),
+      ((0.4, 0.0), 0.0, 'trot forward'),
+      ((0.0, 0.0), 0.5, 'turn left'),
+      ((0.3, 0.0), 0.0, 'trot forward'),
+      ((0.0, 0.0), 0.0, 'halt'),
+  ]
+  per = seconds / len(segments)
+  for command, yaw_rate, label in segments:
+    stats = run_sim(seconds=per, command=command, yaw_rate=yaw_rate,
+                    robot=robot, controller=controller)
+    dx, dy = stats['displacement']
+    print(f'{label:14s} v={command} wz={yaw_rate:+.1f} -> '
+          f'moved ({dx:+.2f}, {dy:+.2f}) m, '
+          f'yaw {stats["yaw_change"]:+.2f} rad, '
+          f'min upright {stats["min_uprightness"]:.2f}')
+    assert stats['min_uprightness'] > 0.5, 'robot fell'
+  print('Trot demo complete; robot stayed upright throughout. OK')
+
+
+def teleop(use_trot):
+  import time
+  from daydreamer_tpu.envs.drivers.gamepad import Gamepad
+  pad = Gamepad()
+  print('Teleop: left stick = vx/vy, right stick x = yaw; LB+RB stops.')
+  if use_trot:
+    from daydreamer_tpu.control import LocomotionController
+    from daydreamer_tpu.envs.a1_model import A1Robot, SIM_TIMESTEP
+    robot = A1Robot(action_repeat=1, seed=0)
+    robot.reset()
+    controller = LocomotionController()
+    controller.reset()
+    try:
+      while not pad.estop_flagged:
+        vx, vy, wz = pad.speed_command()
+        tau = controller.torques(robot, (vx, vy), wz)
+        for _ in range(2):
+          robot.substep_torque(tau)
+        print(f'\rv=({vx:+.2f},{vy:+.2f},{wz:+.2f}) '
+              f'x={robot.data.qpos[0]:+.2f} y={robot.data.qpos[1]:+.2f} '
+              f'up={robot.rot_mat[2, 2]:.2f}', end='')
+        time.sleep(2 * SIM_TIMESTEP)
+    finally:
+      pad.stop()
+    return
+  try:
+    while not pad.estop_flagged:
+      vx, vy, wz = pad.speed_command()
+      forces, iters, _ = stance_force_qp(command_to_wrench(vx, vy, wz))
+      fz = ' '.join(f'{f:6.1f}' for f in forces[:, 2])
+      print(f'\rv=({vx:+.2f},{vy:+.2f},{wz:+.2f}) fz=[{fz}] '
+            f'({iters} it)', end='')
+      time.sleep(0.05)
+  finally:
+    pad.stop()
+
+
 def main(argv=None):
   import argparse
   parser = argparse.ArgumentParser()
@@ -83,22 +150,16 @@ def main(argv=None):
                       help='Read vx/vy/wz from a gamepad (reference: '
                            'whole_body_controller_example.py uses the '
                            'F710 gamepad reader); LB+RB stops.')
+  parser.add_argument('--trot', action='store_true',
+                      help='Run the full whole-body trot in the MuJoCo '
+                           'sim (gait + swing + stance QP), scripted '
+                           'command profile or gamepad with --teleop.')
   args = parser.parse_args(argv)
+  if args.trot and not args.teleop:
+    trot_demo()
+    return
   if args.teleop:
-    import time
-    from daydreamer_tpu.envs.drivers.gamepad import Gamepad
-    pad = Gamepad()
-    print('Teleop: left stick = vx/vy, right stick x = yaw; LB+RB stops.')
-    try:
-      while not pad.estop_flagged:
-        vx, vy, wz = pad.speed_command()
-        forces, iters, _ = stance_force_qp(command_to_wrench(vx, vy, wz))
-        fz = ' '.join(f'{f:6.1f}' for f in forces[:, 2])
-        print(f'\rv=({vx:+.2f},{vy:+.2f},{wz:+.2f}) fz=[{fz}] '
-              f'({iters} it)', end='')
-        time.sleep(0.05)
-    finally:
-      pad.stop()
+    teleop(args.trot)
     return
   # Desired wrench: support body weight, small forward push, zero torque.
   desired = np.array([8.0, 0.0, MASS * GRAVITY, 0.0, 0.0, 0.0])

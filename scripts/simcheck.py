@@ -29,6 +29,9 @@ PAIRS = {
     'daydreamer_tpu/run/acting.py': 'embodied/run/acting.py',
     'daydreamer_tpu/run/train.py': 'embodied/run/train.py',
     'daydreamer_tpu/run/learning.py': 'embodied/run/learning.py',
+    'daydreamer_tpu/core/path.py': 'embodied/core/path.py',
+    'daydreamer_tpu/core/timer.py': 'embodied/core/timer.py',
+    'daydreamer_tpu/envs/__init__.py': 'embodied/envs/__init__.py',
 }
 
 
