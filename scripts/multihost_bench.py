@@ -1,17 +1,21 @@
 """Multi-host scaling efficiency measurement (BASELINE target: >=80%
 env-steps/s scaling from 1 host to N hosts).
 
-Two measurements, both hardware-free (virtual CPU devices):
+Two measurements, both hardware-free (virtual CPU devices). Each emulated
+"host" is pinned to its own CPU core (real pod hosts do not share CPUs,
+so unpinned same-box runs would measure core contention, not framework
+overhead):
 
 1. env-steps/s scaling: N independent actor processes, each driving a
    batch of Dummy envs through the Driver with a random policy — the
    framework-overhead path of per-host collection (actors are share-nothing
    in the async design, so this is the number the BASELINE target names).
-   Efficiency = rate(N) / (N * rate(1)).
+   Efficiency = rate(N hosts) / (N * rate(1 host)), one core per host.
 
-2. learner weak scaling: the fused train step over the same 8-device mesh
-   run as 1 process vs 2 jax.distributed processes (4 local devices each),
-   isolating the multi-process runtime overhead of the SPMD learner.
+2. learner weak scaling: the fused multi-update train step (the
+   run=learning hot loop) with 4 local devices per process, run as 1
+   process vs 2 jax.distributed processes. Per-host work per update is
+   identical; the delta is cross-process runtime/collective overhead.
    Efficiency = updates/s(2 procs) / updates/s(1 proc).
 
 Usage: python scripts/multihost_bench.py [--hosts 2] [--seconds 10]
@@ -32,6 +36,9 @@ ROOT = pathlib.Path(__file__).parent.parent
 
 def actor_main(seconds):
   """One collection host: batch of envs + driver + random policy."""
+  cpu = os.environ.get('MULTIHOST_CPU', '')
+  if cpu:
+    os.sched_setaffinity(0, {int(c) for c in cpu.split(',')})
   sys.path.insert(0, str(ROOT))
   import daydreamer_tpu as ddt
   from daydreamer_tpu.envs import load_env
@@ -51,14 +58,15 @@ def actor_main(seconds):
 
 
 def measure_actors(n, seconds):
-  env = dict(os.environ)
-  env['PYTHONPATH'] = str(ROOT) + os.pathsep + env.get('PYTHONPATH', '')
-  procs = [
-      subprocess.Popen(
-          [sys.executable, __file__, '--actor', '--seconds', str(seconds)],
-          stdout=subprocess.PIPE, text=True, env=env, cwd=str(ROOT))
-      for _ in range(n)
-  ]
+  cores = sorted(os.sched_getaffinity(0))
+  procs = []
+  for i in range(n):
+    env = dict(os.environ)
+    env['PYTHONPATH'] = str(ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+    env['MULTIHOST_CPU'] = str(cores[i % len(cores)])
+    procs.append(subprocess.Popen(
+        [sys.executable, __file__, '--actor', '--seconds', str(seconds)],
+        stdout=subprocess.PIPE, text=True, env=env, cwd=str(ROOT)))
   rates = []
   for proc in procs:
     out, _ = proc.communicate(timeout=seconds * 10 + 120)
@@ -76,21 +84,22 @@ def free_port():
     return s.getsockname()[1]
 
 
-def measure_learner(processes, local_devices, steps=6):
-  env = dict(os.environ)
-  env.pop('XLA_FLAGS', None)
-  env['MULTIHOST_LOCAL_DEVICES'] = str(local_devices)
-  env['PYTHONPATH'] = str(ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+def measure_learner(processes, local_devices, steps=8):
+  cores = sorted(os.sched_getaffinity(0))
   port = free_port()
   worker = str(ROOT / 'scripts' / 'multihost_worker.py')
-  procs = [
-      subprocess.Popen(
-          [sys.executable, worker, str(port), str(processes), str(pid),
-           str(steps)],
-          stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-          env=env, cwd=str(ROOT))
-      for pid in range(processes)
-  ]
+  procs = []
+  for pid in range(processes):
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    env['MULTIHOST_LOCAL_DEVICES'] = str(local_devices)
+    env['MULTIHOST_CPU'] = str(cores[pid % len(cores)])
+    env['PYTHONPATH'] = str(ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+    procs.append(subprocess.Popen(
+        [sys.executable, worker, str(port), str(processes), str(pid),
+         str(steps)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=str(ROOT)))
   rates = []
   for proc in procs:
     out, _ = proc.communicate(timeout=1200)
@@ -123,12 +132,14 @@ def main():
                  f'rate_{args.hosts}hosts': round(many, 1)},
   }))
 
-  single = measure_learner(1, 8)
+  single = measure_learner(1, 4)
   multi = measure_learner(2, 4)
   print(json.dumps({
       'metric': 'learner_updates_per_s_multiprocess_efficiency',
       'value': round(multi / single, 3),
-      'unit': 'ratio (2-process jax.distributed vs 1-process, 8 devices)',
+      'unit': ('weak-scaling ratio (2-process jax.distributed vs '
+               '1-process, 4 local devices and 1 core per process, '
+               'fused multi-update learner path)'),
       'detail': {'updates_1proc': round(single, 3),
                  'updates_2proc': round(multi, 3)},
   }))

@@ -22,6 +22,12 @@ def main(argv):
   port, nproc, pid = argv[0], int(argv[1]), int(argv[2])
   steps = int(argv[3]) if len(argv) > 3 else 3
   local_devices = int(os.environ.get('MULTIHOST_LOCAL_DEVICES', '4'))
+  # Optional per-process CPU pinning: emulates each "host" owning its own
+  # cores, so scaling numbers measure runtime overhead, not single-box
+  # core contention (real pod hosts do not share CPUs).
+  cpu = os.environ.get('MULTIHOST_CPU', '')
+  if cpu:
+    os.sched_setaffinity(0, {int(c) for c in cpu.split(',')})
   flags = os.environ.get('XLA_FLAGS', '')
   os.environ['XLA_FLAGS'] = (
       flags + f' --xla_force_host_platform_device_count={local_devices}'
@@ -65,14 +71,21 @@ def main(argv):
   env.close()
 
   global_batch = distributed.host_local_batch(data, agent.mesh)
-  outs, state, mets = agent.train(global_batch)  # Create + compile.
+  # Measure the path run=learning actually uses: K fused gradient updates
+  # per dispatch (train_multi), so per-dispatch host/gRPC coordination is
+  # amortized exactly as in the real learner hot loop.
+  fused = int(os.environ.get('MULTIHOST_FUSED', '4'))
+  batches = [global_batch] * fused
+  outs, state, mets = agent.train_multi(batches)  # Create + compile.
   loss = float(mets['model_loss_mean'])
 
+  jax.block_until_ready(agent.varibs)
   start = time.time()
   for _ in range(steps):
-    outs, state, mets = agent.train(global_batch, state)
+    outs, state, mets = agent.train_multi(batches, state)
+  jax.block_until_ready(agent.varibs)
   final = float(mets['model_loss_mean'])
-  rate = steps / (time.time() - start)
+  rate = steps * fused / (time.time() - start)
 
   assert np.isfinite(final), final
   print(f'RESULT {pid} {final:.6f} {rate:.3f}', flush=True)

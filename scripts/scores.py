@@ -26,7 +26,10 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def load_metrics(logdir):
+def load_metrics(logdir, xdiv=1, ydiv=1):
+  """Episode curve from metrics.jsonl. `xdiv` undoes the logger's env
+  repeat multiplier on steps; `ydiv` converts episode score to per-step
+  reward (the reference's a1 curves use env steps and score/length)."""
   xs, ys = [], []
   path = pathlib.Path(logdir).expanduser() / 'metrics.jsonl'
   for line in path.read_text().splitlines():
@@ -35,8 +38,8 @@ def load_metrics(logdir):
     except json.JSONDecodeError:
       continue
     if 'episode/score' in row:
-      xs.append(int(row.get('step', len(xs))))
-      ys.append(float(row['episode/score']))
+      xs.append(int(row.get('step', len(xs))) // max(1, xdiv))
+      ys.append(float(row['episode/score']) / max(1, ydiv))
   return xs, ys
 
 
@@ -49,7 +52,7 @@ def final_mean(ys, frac=0.1):
 def cmd_export(args):
   runs = []
   for i, logdir in enumerate(args.logdir):
-    xs, ys = load_metrics(logdir)
+    xs, ys = load_metrics(logdir, args.xdiv, args.ydiv)
     runs.append({'task': args.task, 'method': args.method,
                  'seed': str(i), 'xs': xs, 'ys': ys})
     print(f'{logdir}: {len(xs)} episodes, '
@@ -93,6 +96,11 @@ def main(argv=None):
   p.add_argument('--task', required=True)
   p.add_argument('--method', default='dreamer_tpu')
   p.add_argument('--out', required=True)
+  p.add_argument('--xdiv', type=int, default=1,
+                 help='divide steps by this (undo env.repeat multiplier)')
+  p.add_argument('--ydiv', type=int, default=1,
+                 help='divide scores by this (e.g. episode length for '
+                      'per-step reward, matching the reference a1 curves)')
   p.set_defaults(fn=cmd_export)
   p = sub.add_parser('plot')
   p.add_argument('--files', nargs='+', required=True)
