@@ -139,6 +139,14 @@ class JAXAgent:
 
     self._pure_train_packed = train_packed
 
+    # Fused-dispatch metric policy: 'all' packs every update's metrics
+    # (averaged at fetch time); 'last' packs only the final update's, so
+    # XLA dead-code-eliminates the ~80 per-update metric reductions in the
+    # other K-1 updates (the reference likewise logs the current step's
+    # metrics when the log cadence fires, not an average; tfutils metrics
+    # are read per logged step).
+    self._fused_metrics = str(config.jax.get('fused_metrics', 'all'))
+
     def train_multi_packed(state, seeds, datas, carry):
       # K gradient updates inside ONE device dispatch: a lax.scan over the
       # train step threading the full agent state. Amortizes per-dispatch
@@ -150,6 +158,19 @@ class JAXAgent:
         (outs, carry, packed), varibs = train_packed(
             varibs, seed, data, carry)
         return (varibs, carry), (outs, packed)
+      if self._fused_metrics == 'last':
+        def quiet(loop, inp):
+          (varibs, carry), (outs, _) = body(loop, inp)
+          return (varibs, carry), outs
+        head = jax.tree.map(lambda x: x[:-1], (seeds, datas))
+        tail = jax.tree.map(lambda x: x[-1], (seeds, datas))
+        (state, carry), outs_head = jax.lax.scan(
+            quiet, (state, carry), head)
+        (state, carry), (outs_tail, packed) = body((state, carry), tail)
+        outs = jax.tree.map(
+            lambda h, t: jnp.concatenate([h, t[None]], 0),
+            outs_head, outs_tail)
+        return (outs, carry, packed[None]), state
       (state, carry), (outs, packeds) = jax.lax.scan(
           body, (state, carry), (seeds, datas))
       return (outs, carry, packeds), state
@@ -178,6 +199,14 @@ class JAXAgent:
             varibs, tkey, batch, carry)
         return (varibs, carry), packed
 
+      if self._fused_metrics == 'last':
+        def quiet(loop, seed):
+          loop, _ = body(loop, seed)
+          return loop, None
+        (state, carry), _ = jax.lax.scan(
+            quiet, (state, carry), seeds[:-1])
+        (state, carry), packed = body((state, carry), seeds[-1])
+        return (carry, packed[None]), state
       (state, carry), packeds = jax.lax.scan(body, (state, carry), seeds)
       return (carry, packeds), state
 
@@ -209,6 +238,14 @@ class JAXAgent:
         prios = prios.at[rows.reshape(-1)].set(fresh)
         return (varibs, carry, prios), packed
 
+      if self._fused_metrics == 'last':
+        def quiet(loop, seed):
+          loop, _ = body(loop, seed)
+          return loop, None
+        (state, carry, prios), _ = jax.lax.scan(
+            quiet, (state, carry, prios), seeds[:-1])
+        (state, carry, prios), packed = body((state, carry, prios), seeds[-1])
+        return (carry, packed[None], prios), state
       (state, carry, prios), packeds = jax.lax.scan(
           body, (state, carry, prios), seeds)
       return (carry, packeds, prios), state

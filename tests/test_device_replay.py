@@ -148,6 +148,36 @@ class TestTrainDevice:
           results[0][key], results[1][key], atol=1e-5, err_msg=key)
     env.close()
 
+  def test_fused_metrics_last_matches_all(self):
+    """jax.fused_metrics 'last' must produce the same parameters as 'all'
+    (metrics computation is observational; DCE must not change training)
+    and report the final update's metrics."""
+    from daydreamer_tpu.agents.dreamer import Agent
+    from tests.test_agent import make_config
+    env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+    results = {}
+    for mode in ('all', 'last'):
+      config = make_config(task='dummy_discrete', batch_size=4,
+                           replay_chunk=6, imag_horizon=2)
+      config = config.update({'jax.fused_metrics': mode})
+      np.random.seed(0)
+      agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+      from daydreamer_tpu import replay as replaylib
+      store = replaylib.RAMStore(int(1e4))
+      fixed = replaylib.FixedLength(store, chunk=6)
+      driver = ddt.Driver(env)
+      driver.on_step(fixed.add)
+      driver(ddt.RandomAgent(env.act_space).policy, steps=40)
+      device = agent.make_device_replay(capacity=128, block=8)
+      drlib.StoreMirror(fixed, device).sync()
+      outs, state, mets = agent.train_device(device, steps=3)
+      assert np.isfinite(mets['model_loss_mean'])
+      results[mode] = {k: np.asarray(v) for k, v in agent.varibs.items()}
+    for key in results['all']:
+      np.testing.assert_allclose(
+          results['all'][key], results['last'][key], atol=1e-5, err_msg=key)
+    env.close()
+
 
 class TestDevicePER:
 
