@@ -21,6 +21,7 @@ def main():
   rssm_unroll = int(sys.argv[1]) if len(sys.argv) > 1 else 2
   imag_unroll = int(sys.argv[2]) if len(sys.argv) > 2 else 3
   K = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+  fused_metrics = sys.argv[4] if len(sys.argv) > 4 else 'all'
 
   import jax
   import daydreamer_tpu as ddt
@@ -33,6 +34,7 @@ def main():
       r'.*\.layers': 2, r'.*\.units': 128, r'.*\.cnn_depth': 16,
       r'.*\.wd$': 0.0,
       'rssm.unroll': rssm_unroll, 'imag_unroll': imag_unroll,
+      'jax.fused_metrics': fused_metrics,
   })
   env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
   agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
@@ -58,7 +60,7 @@ def main():
   jax.block_until_ready(state)  # Include the first execution, not just trace.
   _ = mets['model_loss_mean']
   compile_time = time.time() - start
-  print(f'unroll=({rssm_unroll},{imag_unroll}) '
+  print(f'unroll=({rssm_unroll},{imag_unroll}) metrics={fused_metrics} '
         f'compile_time_s={compile_time:.1f}', flush=True)
 
   rates = []
@@ -71,7 +73,7 @@ def main():
     rates.append(2 * K / (time.time() - start))
     if time.time() > deadline:
       break
-  print(f'unroll=({rssm_unroll},{imag_unroll}) '
+  print(f'unroll=({rssm_unroll},{imag_unroll}) metrics={fused_metrics} '
         f'median={np.median(rates):.1f} updates/s '
         f'windows={[round(r, 1) for r in rates]}', flush=True)
 

@@ -123,12 +123,12 @@ def test_budget(timings, name):
 
 
 @pytest.mark.slow
-def test_unroll_matrix():
+def test_unroll_matrix(timings):
   """Static unroll trades compile time for steady-state step time
   (the reference's biggest perf knob, reference:
   tests/test_xla_unroll.py:17-27). Both modes must work; the unrolled
   program may not be catastrophically slower at steady state."""
-  rolled = _time_entry_points(_test_config())
+  rolled = timings  # Module fixture is the rolled (unroll=1) variant.
   unrolled = _time_entry_points(_test_config(**{
       'rssm.unroll': 8, 'imag_unroll': 5}))
   print('rolled:', rolled)
