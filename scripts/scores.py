@@ -31,7 +31,10 @@ def load_metrics(logdir, xdiv=1, ydiv=1):
   repeat multiplier on steps; `ydiv` converts episode score to per-step
   reward (the reference's a1 curves use env steps and score/length)."""
   xs, ys = [], []
-  path = pathlib.Path(logdir).expanduser() / 'metrics.jsonl'
+  logdir = pathlib.Path(logdir).expanduser()
+  path = logdir / 'metrics.jsonl'
+  if not path.exists():  # Baselines log episodes to scores.jsonl only.
+    path = logdir / 'scores.jsonl'
   for line in path.read_text().splitlines():
     try:
       row = json.loads(line)
