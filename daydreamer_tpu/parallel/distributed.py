@@ -39,19 +39,23 @@ def is_main_process():
   return jax.process_index() == 0
 
 
-def host_local_batch(batch, mesh, axis='data'):
+def host_local_batch(batch, mesh, axis='data', leading=0):
   """Build a globally-sharded batch from this host's local shard.
 
   `batch` holds this process's rows; the returned arrays are global with
-  the leading dim = local_rows * process_count, sharded over `axis`.
+  the batch dim = local_rows * process_count, sharded over `axis`.
+  With `leading=1` the arrays carry an unsharded leading axis (e.g. the
+  K fused-update groups of `train_multi`) and the batch dim is axis 1.
   """
   from jax.sharding import NamedSharding, PartitionSpec as P
-  sharding = NamedSharding(mesh, P(axis))
+  spec = P(*([None] * leading + [axis]))
+  sharding = NamedSharding(mesh, spec)
 
   def make(x):
     x = np.asarray(x)
-    global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+    global_shape = list(x.shape)
+    global_shape[leading] *= jax.process_count()
     return jax.make_array_from_process_local_data(
-        sharding, x, global_shape)
+        sharding, x, tuple(global_shape))
 
   return jax.tree.map(make, batch)

@@ -70,12 +70,18 @@ def main(argv):
   data['reward'][:] = np.linspace(0, 1, T, dtype=np.float32)
   env.close()
 
-  global_batch = distributed.host_local_batch(data, agent.mesh)
   # Measure the path run=learning actually uses: K fused gradient updates
   # per dispatch (train_multi), so per-dispatch host/gRPC coordination is
-  # amortized exactly as in the real learner hot loop.
+  # amortized exactly as in the real learner hot loop. The K groups are
+  # pre-stacked host-locally and shared into one global array (leading K
+  # axis unsharded, batch axis sharded over processes).
+  from daydreamer_tpu.agents.dreamer.jaxagent import Prestacked
   fused = int(os.environ.get('MULTIHOST_FUSED', '4'))
-  batches = [global_batch] * fused
+  stacked_local = {
+      k: np.stack([v] * fused) for k, v in data.items()}
+  stacked = distributed.host_local_batch(
+      stacked_local, agent.mesh, leading=1)
+  batches = Prestacked(stacked, [None] * fused, fused)
   outs, state, mets = agent.train_multi(batches)  # Create + compile.
   loss = float(mets['model_loss_mean'])
 

@@ -122,6 +122,21 @@ def test_budget(timings, name):
   assert measured < budget, (name, measured, budget)
 
 
+def test_entry_point_ratios(timings):
+  """Load-insensitive gates: all entry points slow down together under
+  box contention, so their ratios catch dispatch/compile regressions the
+  absolute budgets (SLACK 2.5) would let through. The policy does <1/30
+  of the train step's work; report is a forward-only pass."""
+  assert timings['policy_steady'] < 0.5 * timings['train_steady'] + 0.02, (
+      timings)
+  assert timings['report_steady'] < 1.5 * timings['train_steady'] + 0.05, (
+      timings)
+  # Compile must stay within ~two orders of magnitude of steady state;
+  # catches accidental retrace-per-call (compile cost leaking into steady)
+  # and runaway program growth.
+  assert timings['train_compile'] > timings['train_steady'], timings
+
+
 @pytest.mark.slow
 def test_unroll_matrix(timings):
   """Static unroll trades compile time for steady-state step time

@@ -83,3 +83,15 @@ class TestDistributed:
     assert out['x'].shape == (n, 3)
     np.testing.assert_allclose(np.asarray(out['x']), local['x'])
     assert len(out['x'].addressable_shards) == n
+
+  def test_host_local_batch_leading_axis(self):
+    # Fused-update groups: leading K axis unsharded, batch axis sharded
+    # (the train_multi layout used by the multihost learner bench).
+    mesh = meshlib.make_mesh()
+    n = mesh.devices.size
+    local = {'x': np.arange(2 * n * 3, dtype=np.float32).reshape(2, n, 3)}
+    out = distributed.host_local_batch(local, mesh, leading=1)
+    assert out['x'].shape == (2, n, 3)
+    np.testing.assert_allclose(np.asarray(out['x']), local['x'])
+    shard_shapes = {s.data.shape for s in out['x'].addressable_shards}
+    assert shard_shapes == {(2, 1, 3)}  # K unsharded, batch split.
