@@ -41,12 +41,29 @@ def _pad_lanes(x, lanes):
   return x
 
 
-@functools.partial(jax.jit, static_argnames=('lam', 'interpret'))
-def gve_pallas(interm, disc, bootstrap, lam, interpret=False):
+def _resolve_interpret(interpret):
+  """Pallas must run in interpret mode off-TPU. The eager creation pass
+  dispatches under `jax.default_device(cpu)` even when the training
+  backend is a TPU, so check the active default device first."""
+  if interpret is not None:
+    return interpret
+  device = jax.config.jax_default_device
+  if device is not None:
+    return device.platform not in ('tpu', 'axon')
+  return not _on_tpu()
+
+
+def gve_pallas(interm, disc, bootstrap, lam, interpret=None):
   """ret[t] = interm[t] + disc[t]*lam*ret[t+1]; ret[H] = bootstrap.
 
   interm, disc: [H, N]; bootstrap: [N]. Returns [H, N] float32.
   """
+  return _gve_pallas(
+      interm, disc, bootstrap, lam, _resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=('lam', 'interpret'))
+def _gve_pallas(interm, disc, bootstrap, lam, interpret=False):
   from jax.experimental import pallas as pl
   horizon, n = interm.shape
   interm = _pad_lanes(interm.astype(jnp.float32), LANE)
@@ -60,9 +77,13 @@ def gve_pallas(interm, disc, bootstrap, lam, interpret=False):
   return out[:, :n]
 
 
-@functools.partial(jax.jit, static_argnames=('lam', 'interpret'))
-def gae_pallas(deltas, disc, lam, interpret=False):
+def gae_pallas(deltas, disc, lam, interpret=None):
   """adv[t] = deltas[t] + disc[t]*lam*adv[t+1]; adv[H] = 0."""
+  return _gae_pallas(deltas, disc, lam, _resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=('lam', 'interpret'))
+def _gae_pallas(deltas, disc, lam, interpret=False):
   from jax.experimental import pallas as pl
   horizon, n = deltas.shape
   deltas = _pad_lanes(deltas.astype(jnp.float32), LANE)
