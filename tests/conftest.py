@@ -6,6 +6,14 @@ import os
 #
 # Note: the env var JAX_PLATFORMS is not honored by the axon TPU plugin in
 # this image, so we must use jax.config before the backend initializes.
+# MuJoCo locks its GL backend the first time the `mujoco` package is
+# imported anywhere in the process. Tests import mujoco in arbitrary order
+# (some before the env modules whose constructors setdefault MUJOCO_GL), so
+# pin the headless EGL backend up front; otherwise the auto backend picks
+# GLFW, which needs a DISPLAY, and every later render fails with
+# `gladLoadGL error`.
+os.environ.setdefault('MUJOCO_GL', 'egl')
+
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
   os.environ['XLA_FLAGS'] = (
