@@ -482,26 +482,17 @@ class VFunction(nn.Module):
     disc = traj['cont'][1:] * self.config.discount
     value = self.target_net(traj).mean()
     lam = self.config.return_lambda
-    pallas = getattr(self.config, 'return_impl', 'scan') == 'pallas'
     if impl == 'gae':
       deltas = reward + disc * value[1:] - value[:-1]
-      if pallas:
-        from ...ops import gae_pallas
-        adv = gae_pallas(deltas, disc, float(lam))
-      else:
-        adv = _reverse_scan(
-            lambda nxt, inp: inp[0] + inp[1] * lam * nxt,
-            (deltas, disc), jnp.zeros_like(value[0]))
+      adv = _reverse_scan(
+          lambda nxt, inp: inp[0] + inp[1] * lam * nxt,
+          (deltas, disc), jnp.zeros_like(value[0]))
       return adv + value[:-1], value[:-1]
     elif impl == 'gve':
       interm = reward + disc * value[1:] * (1 - lam)
-      if pallas:
-        from ...ops import gve_pallas
-        ret = gve_pallas(interm, disc, value[-1], float(lam))
-      else:
-        ret = _reverse_scan(
-            lambda nxt, inp: inp[0] + inp[1] * lam * nxt,
-            (interm, disc), value[-1])
+      ret = _reverse_scan(
+          lambda nxt, inp: inp[0] + inp[1] * lam * nxt,
+          (interm, disc), value[-1])
       return ret, value[:-1]
     else:
       raise NotImplementedError(impl)

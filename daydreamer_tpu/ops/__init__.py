@@ -1,2 +1,1 @@
-from .lambda_returns import (
-    gve_pallas, gae_pallas, gve_scan, gae_scan, lambda_return)
+from .lambda_returns import gve_scan, gae_scan, lambda_return

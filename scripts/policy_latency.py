@@ -1,0 +1,103 @@
+"""Break down agent.policy latency (device vs host-CPU mirror).
+
+The reference asserts 0.007 s steady policy latency on its training GPU
+(embodied/agents/dreamerv2plus/tests.py:87-89); the robot actor budget is
+50 ms at 20 Hz (robot_interface.py:293). On a tunneled TPU backend every
+dispatch pays RPC round trips, so the robot path uses the host-CPU policy
+mirror (jaxagent.py `_policy_varibs`). This script separates, per call:
+
+  - host prep (np conversion + seed generation)
+  - jit dispatch (call until futures returned, async)
+  - device sync + fetch (block_until_ready + device_get)
+
+for both the training-device policy and the CPU mirror, at batch 1 with
+TEST_CONFIG nets, and prints one JSON line per variant.
+
+Usage: python scripts/policy_latency.py [--reps 50]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_agent():
+  import daydreamer_tpu as ddt
+  from daydreamer_tpu.agents.dreamer import Agent
+  from daydreamer_tpu.envs import load_env
+  config = ddt.Config(Agent.configs['defaults'])
+  config = config.update({
+      'env.parallel': 'none', 'replay_chunk': 8, 'batch_size': 8,
+      r'.*\.layers': 2, r'.*\.units': 128, r'.*\.cnn_depth': 16,
+      r'.*\.wd$': 0.0,
+  })
+  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  obs = {}
+  for key, space in env.obs_space.items():
+    obs[key] = np.zeros((1,) + space.shape, space.dtype)
+  obs['image'] = np.random.randint(0, 255, (1, 64, 64, 3), np.uint8)
+  obs['is_first'][:] = True
+  env.close()
+  return agent, obs
+
+
+def measure(agent, obs, reps):
+  import jax
+  pstate = None
+  acts, pstate = agent.policy(obs, pstate, mode='eval')  # Compile.
+  acts, pstate = agent.policy(obs, pstate, mode='eval')
+  # Whole-call latency.
+  start = time.time()
+  for _ in range(reps):
+    acts, pstate = agent.policy(obs, pstate, mode='eval')
+  whole = (time.time() - start) / reps
+  # Dispatch-only: call the jit directly, do not fetch outs.
+  varibs = agent._policy_varibs()
+  seed = agent._next_seed()
+  start = time.time()
+  for _ in range(reps):
+    (outs, pstate2), _ = agent._jit_policy(
+        varibs, seed, obs, pstate, mode='eval')
+  dispatch = (time.time() - start) / reps
+  jax.block_until_ready(pstate2)
+  # Dispatch + sync (no host fetch of outs).
+  start = time.time()
+  for _ in range(reps):
+    (outs, pstate2), _ = agent._jit_policy(
+        varibs, seed, obs, pstate, mode='eval')
+    jax.block_until_ready(outs)
+  synced = (time.time() - start) / reps
+  return dict(
+      whole_ms=round(whole * 1e3, 2),
+      dispatch_ms=round(dispatch * 1e3, 2),
+      synced_ms=round(synced * 1e3, 2),
+      fetch_ms=round((whole - synced) * 1e3, 2))
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--reps', type=int, default=50)
+  args = parser.parse_args()
+  import jax
+  agent, obs = build_agent()
+  agent._policy_device = None
+  dev = measure(agent, obs, args.reps)
+  print(json.dumps({'variant': 'device', **dev}), flush=True)
+  try:
+    agent._policy_device = jax.local_devices(backend='cpu')[0]
+    agent._mirror = None
+    cpu = measure(agent, obs, args.reps)
+    print(json.dumps({'variant': 'cpu_mirror', **cpu}), flush=True)
+  except RuntimeError:
+    pass
+
+
+if __name__ == '__main__':
+  main()

@@ -136,18 +136,41 @@ def test_fixed_seed_determinism():
 @pytest.mark.slow
 def test_eager_mode_matches_jit():
   """Compiler-mode matrix (reference: tests/test_xla_off.py et al.): the
-  eager (jit=False) path must produce the same creation and finite losses
-  as the jitted path."""
+  eager (jit=False) path must reproduce the jitted path's outputs — same
+  seeded creation, same eval-policy actions, same report losses. Forward
+  paths only: a full eager train step is dominated by thousands of
+  single-op XLA compiles (~2 min for one update) while adding no parity
+  signal beyond what report covers; eager-vs-jit gradient parity is
+  covered at the module level by test_nn.py::test_eager_grads_match_jit."""
   from daydreamer_tpu.agents.dreamer import Agent
-  config = make_config(task='dummy_discrete', batch_size=4,
-                       replay_chunk=6, imag_horizon=2)
-  config = config.update({'jax.jit': False})
+  config = make_config(task='dummy_discrete', batch_size=2,
+                       replay_chunk=3, imag_horizon=2, seed=0)
   env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
-  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
-  data = make_batch(env, config, T=6)
-  outs, state, mets = agent.train(data)
-  assert np.isfinite(mets['model_loss_mean'])
+  data = make_batch(env, config, T=3)
+  obs = {k: v[:, 0] for k, v in data.items() if k != 'action'}
+  results = {}
+  for jit in (False, True):
+    cfg = config.update({'jax.jit': jit})
+    agent = Agent(env.obs_space, env.act_space, ddt.Counter(), cfg)
+    acts, _ = agent.policy(obs, None, mode='eval')
+    rep = agent.report(data)
+    results[jit] = (acts, rep)
   env.close()
+  acts_e, rep_e = results[False]
+  acts_j, rep_j = results[True]
+  np.testing.assert_allclose(
+      np.asarray(acts_e['action'], np.float32),
+      np.asarray(acts_j['action'], np.float32), atol=1e-4)
+  keys = sorted(set(rep_e.keys()) & set(rep_j.keys()))
+  assert 'model_loss_mean' in keys
+  checked = 0
+  for key in keys:
+    a, b = float(np.mean(rep_e[key])), float(np.mean(rep_j[key]))
+    if np.isnan(a) and np.isnan(b):  # Empty-slice metrics (e.g. neg_acc).
+      continue
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3, err_msg=key)
+    checked += 1
+  assert checked >= 10, keys
 
 
 def test_train_multi_matches_sequential():

@@ -137,6 +137,34 @@ class TestOptimizer:
       losses.append(float(metrics['opt_loss']))
     assert losses[-1] < losses[0] * 0.5
 
+  def test_eager_grads_match_jit(self):
+    # Module-level half of the compiler-mode matrix: the eager and jitted
+    # executions of one optimizer step (value_and_grad + clip + Adam) must
+    # produce the same loss and the same updated parameters. The
+    # agent-level test (test_agent.py::test_eager_mode_matches_jit) covers
+    # forward parity; this pins the gradient path cheaply.
+    layer = nn.Linear('eglin', 2, bias=True)
+    opt = nn.Optimizer('egopt', lr=0.05)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32)
+    y = jnp.ones((4, 2))
+    def lossfn():
+      pred = layer(x)
+      return ((pred - y) ** 2).mean()
+    def train():
+      metrics, aux = opt(lossfn, [layer])
+      return metrics
+    _, state0 = nn.pure(train)({}, 0, create=True)
+    eager_mets, eager_state = nn.pure(train)(state0, 7)
+    jit_mets, jit_state = jax.jit(
+        lambda s: nn.pure(train)(s, 7))(state0)
+    assert np.allclose(
+        float(eager_mets['egopt_loss']), float(jit_mets['egopt_loss']),
+        atol=1e-6)
+    for key in state0:
+      np.testing.assert_allclose(
+          np.asarray(eager_state[key]), np.asarray(jit_state[key]),
+          atol=1e-6, err_msg=key)
+
   def test_overflow_skips_update(self):
     # Nonfinite gradients must leave params and Adam moments untouched and
     # surface as the `_overflow` metric; the next finite step must apply
