@@ -35,6 +35,14 @@ def main(argv):
 
   import jax
   jax.config.update('jax_platforms', 'cpu')
+  cache = os.environ.get('DAYDREAMER_COMPILE_CACHE', '')
+  if cache:
+    try:
+      os.makedirs(cache, exist_ok=True)
+      jax.config.update('jax_compilation_cache_dir', cache)
+      jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+      pass
   jax.distributed.initialize(f'localhost:{port}', nproc, pid)
   assert jax.process_count() == nproc, jax.process_count()
   assert jax.device_count() == nproc * local_devices
@@ -54,6 +62,17 @@ def main(argv):
       'imag_horizon': 3,
       'env.amount': 1,
   })
+  if os.environ.get('MULTIHOST_TINY', ''):
+    # Correctness-test mode (tests/test_multihost.py): the SPMD loss
+    # identity holds for any model, so compile the smallest one. The
+    # scaling bench does NOT set this — its efficiency ratio must be
+    # measured on the real per-device workload.
+    config = config.update({
+        'encoder.cnn_keys': '$^', 'decoder.cnn_keys': '$^',
+        'replay_chunk': 4,
+        'rssm': {'units': 32, 'deter': 32, 'stoch': 4, 'classes': 4},
+        r'.*\.units': 32,
+    })
   env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
   agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
 

@@ -67,8 +67,8 @@ def _batch(env, config):
   return data
 
 
-def _time_entry_points(config):
-  """Compile + steady latencies for train/policy/report on one agent."""
+def _time_entry_points(config, entries=('train', 'policy', 'report')):
+  """Compile + steady latencies for the requested entry points."""
   from daydreamer_tpu.agents.dreamer import Agent
   env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
   agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
@@ -77,35 +77,38 @@ def _time_entry_points(config):
   env.close()
   out = {}
 
-  start = time.time()
-  outs, state, mets = agent.train(data)
-  _ = float(mets['model_loss_mean'])  # Materialize = block.
-  out['train_compile'] = time.time() - start
-  start = time.time()
-  steps = 5
-  for _ in range(steps):
-    outs, state, mets = agent.train(data, state)
-  _ = float(mets['model_loss_mean'])
-  out['train_steady'] = (time.time() - start) / steps
+  if 'train' in entries:
+    start = time.time()
+    outs, state, mets = agent.train(data)
+    _ = float(mets['model_loss_mean'])  # Materialize = block.
+    out['train_compile'] = time.time() - start
+    start = time.time()
+    steps = 5
+    for _ in range(steps):
+      outs, state, mets = agent.train(data, state)
+    _ = float(mets['model_loss_mean'])
+    out['train_steady'] = (time.time() - start) / steps
 
-  start = time.time()
-  acts, pstate = agent.policy(obs, mode='train')
-  out['policy_compile'] = time.time() - start
-  start = time.time()
-  steps = 10
-  for _ in range(steps):
-    acts, pstate = agent.policy(obs, pstate, mode='train')
-  np.asarray(acts['action'])
-  out['policy_steady'] = (time.time() - start) / steps
+  if 'policy' in entries:
+    start = time.time()
+    acts, pstate = agent.policy(obs, mode='train')
+    out['policy_compile'] = time.time() - start
+    start = time.time()
+    steps = 10
+    for _ in range(steps):
+      acts, pstate = agent.policy(obs, pstate, mode='train')
+    np.asarray(acts['action'])
+    out['policy_steady'] = (time.time() - start) / steps
 
-  start = time.time()
-  agent.report(data)
-  out['report_compile'] = time.time() - start
-  start = time.time()
-  steps = 3
-  for _ in range(steps):
-    report = agent.report(data)
-  out['report_steady'] = (time.time() - start) / steps
+  if 'report' in entries:
+    start = time.time()
+    agent.report(data)
+    out['report_compile'] = time.time() - start
+    start = time.time()
+    steps = 3
+    for _ in range(steps):
+      report = agent.report(data)
+    out['report_steady'] = (time.time() - start) / steps
   return out
 
 
@@ -138,14 +141,21 @@ def test_entry_point_ratios(timings):
 
 
 @pytest.mark.slow
-def test_unroll_matrix(timings):
+def test_unroll_matrix():
   """Static unroll trades compile time for steady-state step time
   (the reference's biggest perf knob, reference:
   tests/test_xla_unroll.py:17-27). Both modes must work; the unrolled
-  program may not be catastrophically slower at steady state."""
-  rolled = timings  # Module fixture is the rolled (unroll=1) variant.
+  program may not be catastrophically slower at steady state.
+
+  Uses its own shrunken config (half units, no CNN) and times only the
+  train entry point — the unroll knob affects only the scans inside
+  train, and NOT sharing the module fixture keeps `-m slow` from paying
+  the full TEST_CONFIG fixture compile."""
+  small = {
+      r'.*\.units': 64, 'encoder.cnn_keys': '$^', 'decoder.cnn_keys': '$^'}
+  rolled = _time_entry_points(_test_config(**small), entries=('train',))
   unrolled = _time_entry_points(_test_config(**{
-      'rssm.unroll': 8, 'imag_unroll': 5}))
+      **small, 'rssm.unroll': 8, 'imag_unroll': 5}), entries=('train',))
   print('rolled:', rolled)
   print('unrolled:', unrolled)
   assert np.isfinite(list(rolled.values())).all()

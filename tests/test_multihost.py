@@ -30,6 +30,7 @@ def test_two_process_training():
   env = dict(os.environ)
   env.pop('XLA_FLAGS', None)  # Workers set their own device count.
   env['MULTIHOST_LOCAL_DEVICES'] = '4'
+  env['MULTIHOST_TINY'] = '1'  # Loss identity holds for any model size.
   env['PYTHONPATH'] = ROOT + os.pathsep + env.get('PYTHONPATH', '')
   procs = [
       subprocess.Popen(
