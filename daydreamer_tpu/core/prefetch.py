@@ -8,6 +8,7 @@ host-side data loader feeding `jax.device_put`; pair it with
 
 import queue as queuelib
 import threading
+import time
 
 import numpy as np
 
@@ -38,8 +39,23 @@ class Prefetch:
         for k in elems[0].keys()}
     return batch
 
-  def close(self):
+  def close(self, timeout=10.0):
+    """Stop and join the workers. Workers blocked on a full queue observe
+    the stop flag through their bounded put; the remaining queued batches
+    are discarded."""
     self._running = False
+    deadline = time.time() + timeout
+    for thread in self._threads:
+      while thread.is_alive():
+        for queue in self._queues:  # Unblock any worker mid-put.
+          try:
+            queue.get_nowait()
+          except queuelib.Empty:
+            pass
+        thread.join(0.05)
+        if time.time() > deadline:
+          return  # Daemon threads; don't hang shutdown forever.
+    self._threads.clear()
 
   def _start(self):
     if self._running:
@@ -54,13 +70,25 @@ class Prefetch:
       thread.start()
       self._threads.append(thread)
 
+  def _put(self, index, item):
+    """Bounded put that re-checks the stop flag, so close() cannot leave a
+    worker blocked forever on a full queue."""
+    while self._running:
+      try:
+        self._queues[index].put(item, timeout=0.2)
+        return True
+      except queuelib.Full:
+        continue
+    return False
+
   def _worker(self, indices):
     try:
       iterators = [self._sources[i]() for i in indices]
       while self._running:
         for index, iterator in zip(indices, iterators):
-          self._queues[index].put(next(iterator))
+          if not self._put(index, next(iterator)):
+            return
     except Exception as e:
       for index in indices:
-        self._queues[index].put(e)
+        self._put(index, e)
       raise

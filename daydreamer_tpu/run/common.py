@@ -120,6 +120,14 @@ class UpdateLoop:
       for lane in range(self._fused):
         self._replay.prioritize(outs['key'][lane], outs['priority'][lane])
 
+  def close(self):
+    """Shut down the data loader's worker threads. Leaked loader threads
+    outlive the run and can race with later in-process work (e.g. GL
+    context creation in the same interpreter)."""
+    closer = getattr(self._dataset, 'close', None)
+    if closer:
+      closer()
+
   def flush(self, logger, reports=()):
     """Log aggregated train metrics plus named report sections."""
     with warnings.catch_warnings():  # Empty windows produce nan slices.

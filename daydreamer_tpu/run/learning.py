@@ -152,3 +152,6 @@ def learning(agent, train_replay, eval_replay, logger, args):
       logger.add(
           {k: np.mean(xs) for k, xs in scalars.items()}, prefix='eval')
       logger.write()
+  for loader in (dataset_train, dataset_eval):
+    if loader is not None:
+      getattr(loader, 'close', lambda: None)()

@@ -70,3 +70,4 @@ def train(agent, env, replay, logger, args):
   while step < args.steps:
     driver(policy, steps=args.eval_every)
     checkpoint.save()
+  loop.close()

@@ -82,3 +82,5 @@ def train_eval(
     evaluate(eval_policy, episodes=max(len(eval_env), args.eval_eps))
     collect(train_policy, steps=args.eval_every)
     checkpoint.save()
+  loop.close()
+  getattr(eval_dataset, 'close', lambda: None)()

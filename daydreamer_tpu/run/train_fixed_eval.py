@@ -71,3 +71,5 @@ def train_fixed_eval(agent, env, train_replay, eval_replay, logger, args):
     logger.write()
     driver(policy, steps=args.eval_every)
     checkpoint.save()
+  loop.close()
+  getattr(eval_dataset, 'close', lambda: None)()

@@ -222,3 +222,29 @@ class TestTimer:
     stats = timer.stats()
     assert 'foo_count' in stats
     assert stats['thing.method_count'] == 1
+
+
+class TestPrefetch:
+
+  def test_batches_and_close_joins_blocked_workers(self):
+    # Workers fill their bounded queues and block in put(); close() must
+    # actually stop and join them (a leaked loader thread outlives the run
+    # and can race with later in-process work, e.g. GL context creation).
+    import numpy as np
+
+    from daydreamer_tpu.core import Prefetch
+
+    def source():
+      i = 0
+      while True:
+        yield {'x': np.full((2,), i, np.float32)}
+        i += 1
+
+    loader = Prefetch([source] * 4, workers=2, prefetch=2)
+    batch = next(iter(loader))
+    assert batch['x'].shape == (4, 2)
+    workers = list(loader._threads)
+    assert workers and all(t.is_alive() for t in workers)
+    loader.close()
+    assert all(not t.is_alive() for t in workers)
+    assert not loader._threads  # close() clears after joining.

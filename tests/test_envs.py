@@ -297,9 +297,13 @@ class TestA1Model:
 
 @pytest.mark.slow
 class TestMuJoCoEnvs:
+  """Rendering envs run in env subprocesses (parallel='process'), the same
+  isolation production uses: creating an EGL context inside the main test
+  process intermittently segfaults in Mesa after the suite's earlier
+  TF/XLA/torch activity, and a fresh env process sidesteps that entirely."""
 
   def test_a1_sim(self):
-    env = load_env('a1_sim', amount=1, parallel='none', length=20)
+    env = load_env('a1_sim', amount=1, parallel='process', length=20)
     obs = rollout(env, steps=5)
     assert obs['vector'].shape[-1] == 16
     assert np.isfinite(obs['reward']).all()
@@ -307,7 +311,8 @@ class TestMuJoCoEnvs:
     env.close()
 
   def test_dmc_vision(self):
-    env = load_env('dmc_walker_walk', amount=1, parallel='none', repeat=2)
+    env = load_env('dmc_walker_walk', amount=1, parallel='process',
+                   repeat=2)
     obs = rollout(env, steps=5)
     assert obs['image'].shape == (1, 64, 64, 3)
     env.close()
