@@ -277,6 +277,12 @@ class JAXAgent:
     self._mirror = None
     self._mirror_at = -1
     self._train_steps = 0
+    # Device-resident policy RNG: the key threads through the jitted call
+    # (split inside), so the steady-state policy pays no per-call seed
+    # upload or host SeedSequence work — one less round trip per robot
+    # step on tunneled backends.
+    self._policy_rng = None
+    self._policy_rng_dev = False  # Sentinel != None: force first init.
 
     if self._jit:
       # Shardings declared on the jit itself: host numpy batches are
@@ -304,8 +310,7 @@ class JAXAgent:
               data_sh),
           out_shardings=((repl, data_sh, repl), repl)) if multi else {}
       self._jit_policy = jax.jit(
-          functools.partial(self._pure_policy),
-          static_argnames=('mode',))
+          self._keyed_policy, static_argnames=('mode',))
       device_kw = dict(
           in_shardings=(repl, repl, repl, repl, repl, data_sh),
           out_shardings=((data_sh, repl), repl)) if multi else {}
@@ -323,7 +328,7 @@ class JAXAgent:
       self._jit_train_initial = jax.jit(
           self._pure_train_initial, static_argnums=(2,), **init_kw)
     else:
-      self._jit_policy = self._pure_policy
+      self._jit_policy = self._keyed_policy
       self._jit_train = self._pure_train_packed
       self._jit_train_multi = self._pure_train_multi
       self._jit_train_device = self._pure_train_device
@@ -455,6 +460,26 @@ class JAXAgent:
       self._mirror_at = self._train_steps
     return self._mirror
 
+  def _keyed_policy(self, varibs, key, obs, state, mode):
+    """Policy step with the RNG key threaded through the call: the split
+    happens inside the (jitted) program and the evolved key is returned,
+    so the key never leaves the device between steps."""
+    key, sub = jax.random.split(key)
+    (outs, state), _ = self._pure_policy(varibs, sub, obs, state, mode=mode)
+    return (outs, state), key
+
+  def _policy_key(self):
+    """The device-resident policy RNG key, (re)seeded from the host seed
+    stream whenever the policy device changes (e.g. mirror toggling)."""
+    dev = self._policy_device
+    if self._policy_rng is None or self._policy_rng_dev is not dev:
+      key = jax.random.PRNGKey(self._next_seed())
+      if dev is not None:
+        key = jax.device_put(key, dev)
+      self._policy_rng = key
+      self._policy_rng_dev = dev
+    return self._policy_rng
+
   def policy(self, obs, state=None, mode='train'):
     self._create()
     obs = {k: np.asarray(v) for k, v in obs.items()}
@@ -462,8 +487,8 @@ class JAXAgent:
     varibs = self._policy_varibs()
     if state is None:
       state, _ = self._jit_policy_initial(varibs, self._next_seed(), batch)
-    (outs, state), _ = self._jit_policy(
-        varibs, self._next_seed(), obs, state, mode=mode)
+    (outs, state), self._policy_rng = self._jit_policy(
+        varibs, self._policy_key(), obs, state, mode=mode)
     outs = jax.device_get(outs)
     return outs, state
 

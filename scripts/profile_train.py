@@ -79,8 +79,9 @@ def main():
 
   def policy_once():
     obs = {k: v[:, 0] for k, v in data.items() if k != 'action'}
+    import jax
     return agent._jit_policy(
-        varibs, np.uint32(3), obs,
+        varibs, jax.random.PRNGKey(3), obs,
         agent._jit_policy_initial(varibs, np.uint32(0), B)[0],
         mode='train')
 
