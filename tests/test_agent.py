@@ -70,6 +70,29 @@ def test_train_and_policy(task):
   env.close()
 
 
+def test_policy_rng_evolves():
+  """The policy RNG key threads through the jitted call and is fed back
+  (jaxagent._keyed_policy), so stochastic-policy actions must differ
+  across repeated calls on the SAME observation — a key-threading bug
+  would freeze the sample/noise and repeat one action forever."""
+  from daydreamer_tpu.agents.dreamer import Agent
+  config = make_config(task='dummy_continuous', batch_size=2)
+  env = load_env('dummy_continuous', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  data = make_batch(env, config)
+  obs = {k: v[:, 0] for k, v in data.items() if k != 'action'}
+  actions, keys, pstate = [], [], None
+  for _ in range(4):
+    acts, pstate = agent.policy(obs, pstate, mode='train')
+    actions.append(np.asarray(acts['action']))
+    keys.append(np.asarray(agent._policy_rng).copy())
+  diffs = [np.abs(a - b).max() for a, b in zip(actions, actions[1:])]
+  assert max(diffs) > 1e-6, diffs
+  for a, b in zip(keys, keys[1:]):  # The key itself must evolve.
+    assert not np.array_equal(a, b), keys
+  env.close()
+
+
 def test_losses_decrease():
   from daydreamer_tpu.agents.dreamer import Agent
   config = make_config(task='dummy_continuous')
