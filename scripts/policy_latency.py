@@ -81,22 +81,43 @@ def measure(agent, obs, reps):
       fetch_ms=round((whole - synced) * 1e3, 2))
 
 
+def null_rtt(reps):
+  """Dispatch+sync+fetch of a trivial jitted op: the backend's round-trip
+  floor that any policy call must pay regardless of model size."""
+  import jax
+  import jax.numpy as jnp
+  f = jax.jit(lambda x: x + 1)
+  x = jnp.zeros((8,))
+  np.asarray(f(x))
+  start = time.time()
+  for _ in range(reps):
+    np.asarray(f(x))
+  return round((time.time() - start) / reps * 1e3, 2)
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--reps', type=int, default=50)
+  parser.add_argument('--out', default='')
   args = parser.parse_args()
   import jax
+  results = {'backend': str(jax.devices()[0]),
+             'null_rtt_ms': null_rtt(args.reps)}
   agent, obs = build_agent()
   agent._policy_device = None
-  dev = measure(agent, obs, args.reps)
-  print(json.dumps({'variant': 'device', **dev}), flush=True)
+  results['device'] = measure(agent, obs, args.reps)
+  print(json.dumps({'variant': 'device', **results['device']}), flush=True)
   try:
     agent._policy_device = jax.local_devices(backend='cpu')[0]
     agent._mirror = None
-    cpu = measure(agent, obs, args.reps)
-    print(json.dumps({'variant': 'cpu_mirror', **cpu}), flush=True)
+    results['cpu_mirror'] = measure(agent, obs, args.reps)
+    print(json.dumps(
+        {'variant': 'cpu_mirror', **results['cpu_mirror']}), flush=True)
   except RuntimeError:
     pass
+  print(json.dumps({'null_rtt_ms': results['null_rtt_ms']}), flush=True)
+  if args.out:
+    pathlib.Path(args.out).write_text(json.dumps(results, indent=2))
 
 
 if __name__ == '__main__':
