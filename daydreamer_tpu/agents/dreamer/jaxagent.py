@@ -17,6 +17,7 @@ embodied/agents/dreamerv2plus/tfagent.py:14-178). Key differences:
 
 import collections
 import functools
+import threading
 
 import numpy as np
 
@@ -283,6 +284,10 @@ class JAXAgent:
     # step on tunneled backends.
     self._policy_rng = None
     self._policy_rng_dev = False  # Sentinel != None: force first init.
+    # The key read-modify-write in policy() is guarded so two in-process
+    # callers (e.g. an eval driver alongside acting) can never consume the
+    # same key and emit identical action noise.
+    self._policy_rng_lock = threading.Lock()
 
     if self._jit:
       # Shardings declared on the jit itself: host numpy batches are
@@ -348,13 +353,17 @@ class JAXAgent:
       raise NotImplementedError(jaxcfg.precision)
     if jaxcfg.debug_nans:
       jax.config.update('jax_debug_nans', True)
-    # Persistent compilation cache (opt-in via DAYDREAMER_COMPILE_CACHE):
-    # repeated runs skip the multi-minute XLA compile. Not enabled by
-    # default because tunneled/experimental TPU backends can stall for
-    # many minutes serializing large executables.
+    # Persistent compilation cache: repeated runs skip the multi-minute
+    # XLA compile. Defaults to a home-dir path (durable across reboots;
+    # many boxes wipe /tmp). Set DAYDREAMER_COMPILE_CACHE to a path to
+    # relocate it, or to '0' to disable (e.g. if a tunneled backend stalls
+    # serializing large executables).
     import os
-    cache = os.environ.get('DAYDREAMER_COMPILE_CACHE', '')
-    if cache:
+    cache = os.environ.get(
+        'DAYDREAMER_COMPILE_CACHE',
+        os.path.join(
+            os.path.expanduser('~'), '.cache', 'daydreamer_tpu', 'xla'))
+    if cache and cache != '0':
       try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache)
@@ -487,8 +496,9 @@ class JAXAgent:
     varibs = self._policy_varibs()
     if state is None:
       state, _ = self._jit_policy_initial(varibs, self._next_seed(), batch)
-    (outs, state), self._policy_rng = self._jit_policy(
-        varibs, self._policy_key(), obs, state, mode=mode)
+    with self._policy_rng_lock:
+      (outs, state), self._policy_rng = self._jit_policy(
+          varibs, self._policy_key(), obs, state, mode=mode)
     outs = jax.device_get(outs)
     return outs, state
 

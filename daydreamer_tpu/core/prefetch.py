@@ -61,6 +61,9 @@ class Prefetch:
     if self._running:
       return
     self._running = True
+    # A close() that hit its timeout may have left not-yet-dead threads in
+    # the list; prune them so restart cycles never accumulate stale entries.
+    self._threads = [t for t in self._threads if t.is_alive()]
     assignments = [[] for _ in range(self._workers)]
     for index in range(len(self._sources)):
       assignments[index % self._workers].append(index)

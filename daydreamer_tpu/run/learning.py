@@ -79,79 +79,83 @@ def learning(agent, train_replay, eval_replay, logger, args):
         print('WARNING: host replay is prioritized but the device replay '
               'is not; falling back to host sampling.')
         mirror = None
-  while step < args.steps:
-    on_device = False
-    if mirror is not None:
-      mirror.sync()
-      on_device = device_replay.filled >= device_replay.chunk
-    if on_device:
-      # Device-resident replay: sampling AND the K updates run in one
-      # jitted dispatch; no training data crosses the host->device link.
-      outs, state, mets = agent.train_device(device_replay, fused, state)
-      metrics.append(mets)
-      step.increment(fused)
-    elif fused > 1:
-      # Fused path: K gradient updates per device dispatch (the learner
-      # has no per-step host work besides replay sampling, so batching
-      # dispatches multiplies throughput on latency-bound backends), fed
-      # by a host->device prefetch that overlaps the in-flight group.
-      if feed is None:
-        feed = agent.device_feed(dataset_train, fused)
-      group = next(feed)
-      outs, state, mets = agent.train_multi(group, state)
-      metrics.append(mets)
-      if 'priority' in outs:
-        for i in range(fused):
-          train_replay.prioritize(outs['key'][i], outs['priority'][i])
-      step.increment(fused)
-    else:
-      batch = next(dataset_train)
-      outs, state, mets = agent.train(batch, state)
-      metrics.append(mets)
-      if 'priority' in outs:
-        train_replay.prioritize(outs['key'], outs['priority'])
-      step.increment()
-
-    if should_log(step):
-      with warnings.catch_warnings():
-        warnings.simplefilter('ignore', category=RuntimeWarning)
-        lists = collections.defaultdict(list)
-        for mets in metrics:
-          for name, value in mets.items():
-            lists[name].append(value)
-        agg = {
-            k: np.nanmean(x, dtype=np.float64) for k, x in lists.items()}
-        logger.add(agg, prefix='train')
-        metrics.clear()
-      if feed is not None or mirror is not None or batch is None:
-        # Fused/device paths: train batches live on device only; sample a
-        # fresh host batch for the report.
+  try:
+    while step < args.steps:
+      on_device = False
+      if mirror is not None:
+        mirror.sync()
+        on_device = device_replay.filled >= device_replay.chunk
+      if on_device:
+        # Device-resident replay: sampling AND the K updates run in one
+        # jitted dispatch; no training data crosses the host->device link.
+        outs, state, mets = agent.train_device(device_replay, fused, state)
+        metrics.append(mets)
+        step.increment(fused)
+      elif fused > 1:
+        # Fused path: K gradient updates per device dispatch (the learner
+        # has no per-step host work besides replay sampling, so batching
+        # dispatches multiplies throughput on latency-bound backends), fed
+        # by a host->device prefetch that overlaps the in-flight group.
+        if feed is None:
+          feed = agent.device_feed(dataset_train, fused)
+        group = next(feed)
+        outs, state, mets = agent.train_multi(group, state)
+        metrics.append(mets)
+        if 'priority' in outs:
+          for i in range(fused):
+            train_replay.prioritize(outs['key'][i], outs['priority'][i])
+        step.increment(fused)
+      else:
         batch = next(dataset_train)
-      logger.add(agent.report(batch), prefix='report')
-      if dataset_eval:
-        logger.add(agent.report(next(dataset_eval)), prefix='report_eval')
-      logger.add(train_replay.stats, prefix='replay')
-      logger.add(eval_replay.stats, prefix='replay_eval')
-      logger.add(timer.stats(), prefix='timer')
-      logger.write(fps=True)
+        outs, state, mets = agent.train(batch, state)
+        metrics.append(mets)
+        if 'priority' in outs:
+          train_replay.prioritize(outs['key'], outs['priority'])
+        step.increment()
 
-    if should_sync(step):
-      agent_cp.save()
-      learner_cp.save()
+      if should_log(step):
+        with warnings.catch_warnings():
+          warnings.simplefilter('ignore', category=RuntimeWarning)
+          lists = collections.defaultdict(list)
+          for mets in metrics:
+            for name, value in mets.items():
+              lists[name].append(value)
+          agg = {
+              k: np.nanmean(x, dtype=np.float64) for k, x in lists.items()}
+          logger.add(agg, prefix='train')
+          metrics.clear()
+        if feed is not None or mirror is not None or batch is None:
+          # Fused/device paths: train batches live on device only; sample a
+          # fresh host batch for the report.
+          batch = next(dataset_train)
+        logger.add(agent.report(batch), prefix='report')
+        if dataset_eval:
+          logger.add(agent.report(next(dataset_eval)), prefix='report_eval')
+        logger.add(train_replay.stats, prefix='replay')
+        logger.add(eval_replay.stats, prefix='replay_eval')
+        logger.add(timer.stats(), prefix='timer')
+        logger.write(fps=True)
 
-    if should_eval(step):
-      print('Evaluation.')
-      if not dataset_eval:
-        print('Initializing eval replay...')
-        dataset_eval = iter(agent.dataset(eval_replay.dataset))
-      scalars = collections.defaultdict(list)
-      for _ in range(args.eval_samples):
-        for key, value in agent.report(next(dataset_eval)).items():
-          if np.asarray(value).shape == ():
-            scalars[key].append(value)
-      logger.add(
-          {k: np.mean(xs) for k, xs in scalars.items()}, prefix='eval')
-      logger.write()
-  for loader in (dataset_train, dataset_eval):
-    if loader is not None:
-      getattr(loader, 'close', lambda: None)()
+      if should_sync(step):
+        agent_cp.save()
+        learner_cp.save()
+
+      if should_eval(step):
+        print('Evaluation.')
+        if not dataset_eval:
+          print('Initializing eval replay...')
+          dataset_eval = iter(agent.dataset(eval_replay.dataset))
+        scalars = collections.defaultdict(list)
+        for _ in range(args.eval_samples):
+          for key, value in agent.report(next(dataset_eval)).items():
+            if np.asarray(value).shape == ():
+              scalars[key].append(value)
+        logger.add(
+            {k: np.mean(xs) for k, xs in scalars.items()}, prefix='eval')
+        logger.write()
+  finally:
+    # Join loader threads on the exception path too; leaked Prefetch
+    # workers race with later in-process work.
+    for loader in (dataset_train, dataset_eval):
+      if loader is not None:
+        getattr(loader, 'close', lambda: None)()

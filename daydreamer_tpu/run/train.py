@@ -67,7 +67,11 @@ def train(agent, env, replay, logger, args):
   print('Start training loop.')
   policy = lambda *call: agent.policy(
       *call, mode='explore' if should_expl(step) else 'train')
-  while step < args.steps:
-    driver(policy, steps=args.eval_every)
-    checkpoint.save()
-  loop.close()
+  try:
+    while step < args.steps:
+      driver(policy, steps=args.eval_every)
+      checkpoint.save()
+  finally:
+    # Join loader threads on the exception path too; leaked Prefetch
+    # workers race with later in-process work (e.g. GL context creation).
+    loop.close()

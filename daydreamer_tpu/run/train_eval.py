@@ -76,11 +76,14 @@ def train_eval(
   train_policy = lambda *call: agent.policy(
       *call, mode='explore' if should_expl(step) else 'train')
   eval_policy = lambda *call: agent.policy(*call, mode='eval')
-  while step < args.steps:
-    logger.write()
-    evaluate.reset()
-    evaluate(eval_policy, episodes=max(len(eval_env), args.eval_eps))
-    collect(train_policy, steps=args.eval_every)
-    checkpoint.save()
-  loop.close()
-  getattr(eval_dataset, 'close', lambda: None)()
+  try:
+    while step < args.steps:
+      logger.write()
+      evaluate.reset()
+      evaluate(eval_policy, episodes=max(len(eval_env), args.eval_eps))
+      collect(train_policy, steps=args.eval_every)
+      checkpoint.save()
+  finally:
+    # Join loader threads on the exception path too.
+    loop.close()
+    getattr(eval_dataset, 'close', lambda: None)()

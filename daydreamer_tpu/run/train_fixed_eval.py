@@ -67,9 +67,12 @@ def train_fixed_eval(agent, env, train_replay, eval_replay, logger, args):
   print('Start training loop.')
   policy = lambda *call: agent.policy(
       *call, mode='explore' if should_expl(step) else 'train')
-  while step < args.steps:
-    logger.write()
-    driver(policy, steps=args.eval_every)
-    checkpoint.save()
-  loop.close()
-  getattr(eval_dataset, 'close', lambda: None)()
+  try:
+    while step < args.steps:
+      logger.write()
+      driver(policy, steps=args.eval_every)
+      checkpoint.save()
+  finally:
+    # Join loader threads on the exception path too.
+    loop.close()
+    getattr(eval_dataset, 'close', lambda: None)()

@@ -26,18 +26,14 @@ jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: most of the suite's wall-clock is repeated
 # CPU jit compiles of near-identical tiny agents, so repeat runs get the
-# compiled programs back from disk. Safe on CPU (the opt-in env-var gate in
-# jaxagent._setup exists for tunneled TPU backends, not for this path).
-# Note: setting DAYDREAMER_COMPILE_CACHE also flips that opt-in gate for
-# every agent built in tests. The default is namespaced per user so a cache
-# dir owned by another account cannot silently break writes.
-import getpass  # noqa: E402
-import tempfile  # noqa: E402
+# compiled programs back from disk. Lives under the home dir (durable:
+# this box wipes /tmp on reboot, which would re-pay the full compile cost
+# every boot) in a tests-only namespace separate from the runtime default
+# in jaxagent._setup.
 cache_dir = os.environ.setdefault(
     'DAYDREAMER_COMPILE_CACHE',
     os.path.join(
-        tempfile.gettempdir(),
-        f'ddt_test_compile_cache_{getpass.getuser()}'))
+        os.path.expanduser('~'), '.cache', 'daydreamer_tpu', 'xla_tests'))
 try:
   os.makedirs(cache_dir, exist_ok=True)
   jax.config.update('jax_compilation_cache_dir', cache_dir)
