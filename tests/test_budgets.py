@@ -21,19 +21,44 @@ import pytest
 import daydreamer_tpu as ddt
 from daydreamer_tpu.envs import load_env
 
-SLACK = 2.5  # Generous: CI boxes differ; catches order-of-magnitude slips.
+SLACK = 1.5  # Tight: catches a 1.5x regression of any entry point.
 
-# Calibrated on this box WHILE a concurrent training run loaded all cores
-# (the realistic worst case for CI here); they still catch 2x-and-worse
-# regressions of the entry points.
+# Calibrated on this box in a QUIET window (2026-08-21, 2-CPU box, cold
+# compile cache): train 75.1s compile / 2.45s steady, policy 3.5s / 0.24s,
+# report 9.9s / 0.71s. Budgets are measured + ~10% headroom; the absolute
+# gates only run when the box is quiet (see _box_loaded) — under
+# concurrent load the load-insensitive ratio gates below still apply.
 BUDGETS = {
-    'train_compile': 150.0,
-    'train_steady': 3.0,
-    'policy_compile': 40.0,
-    'policy_steady': 0.4,
-    'report_compile': 60.0,
-    'report_steady': 2.0,
+    'train_compile': 80.0,
+    'train_steady': 2.6,
+    'policy_compile': 6.0,
+    'policy_steady': 0.27,
+    'report_compile': 12.0,
+    'report_steady': 0.8,
 }
+
+
+# Quiet-box wall time of the contention probe in _contention_factor
+# (50 f32 512x512 matmuls, warm): ~0.05s on this box.
+_PROBE_QUIET_S = 0.055
+
+
+def _contention_factor():
+  """How much slower a fixed CPU workload runs right now vs a quiet box.
+
+  Run immediately before timing the entry points: pytest executes tests
+  sequentially, so anything competing with the probe is an EXTERNAL
+  process. When the box is contended the absolute wall-clock budgets are
+  meaningless and the tests skip VISIBLY (not silently absorbed by a
+  larger slack, which would also absorb real regressions); the
+  load-insensitive ratio gates below still apply."""
+  x = np.random.rand(512, 512).astype(np.float32)
+  for _ in range(5):
+    x @ x  # Warm the BLAS threads.
+  start = time.time()
+  for _ in range(50):
+    x @ x
+  return (time.time() - start) / _PROBE_QUIET_S
 
 
 def _test_config(**overrides):
@@ -114,11 +139,18 @@ def _time_entry_points(config, entries=('train', 'policy', 'report')):
 
 @pytest.fixture(scope='module')
 def timings():
-  return _time_entry_points(_test_config())
+  contention = _contention_factor()
+  out = _time_entry_points(_test_config())
+  out['contention'] = contention
+  return out
 
 
 @pytest.mark.parametrize('name', sorted(BUDGETS))
 def test_budget(timings, name):
+  if timings['contention'] > 1.6:
+    pytest.skip(
+        f'box contended ({timings["contention"]:.1f}x probe slowdown); '
+        'absolute budgets gated on quiet boxes only')
   measured = timings[name]
   budget = BUDGETS[name] * SLACK
   print(f'{name}: {measured:.4f}s (budget {budget:.3f}s)')
