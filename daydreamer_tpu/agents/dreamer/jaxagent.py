@@ -636,6 +636,36 @@ class JAXAgent:
     mets = LazyMetrics(self._metric_names, packeds, fused=True)
     return {}, state, mets
 
+  def train_device_cost(self, replay, steps, state):
+    """XLA cost analysis of the fused sample+train program.
+
+    Returns the compiler's estimate for ONE dispatch of `steps` updates
+    ({'flops': ..., 'bytes accessed': ...}), or None when unavailable
+    (jit disabled, or a backend without cost analysis). Divide flops by
+    `steps` and by the measured step time for an MFU estimate against the
+    chip's peak. The lowering reuses the already-compiled executable via
+    the jit/persistent caches, so this costs no extra compile after the
+    first train_device call."""
+    if not self._jit:
+      return None
+    self._create()
+    seeds = np.stack([self._next_seed() for _ in range(steps)])
+    buffers, filled, cursor = replay.state
+    try:
+      if getattr(replay, 'prioritized', False):
+        lowered = self._jit_train_device_per.lower(
+            self.varibs, seeds, buffers, filled, cursor, replay.prios,
+            state)
+      else:
+        lowered = self._jit_train_device.lower(
+            self.varibs, seeds, buffers, filled, cursor, state)
+      analysis = lowered.compile().cost_analysis()
+    except Exception:
+      return None
+    if isinstance(analysis, (list, tuple)):
+      analysis = analysis[0] if analysis else None
+    return dict(analysis) if analysis else None
+
   def make_device_replay(self, capacity=None, block=None, prioritized=None):
     """Construct a DeviceReplay matching this agent's batch layout."""
     from ...replay.device_replay import DeviceReplay

@@ -33,6 +33,11 @@ def main(argv=None):
   logdir = embodied.Path(config.logdir)
   step = embodied.Counter()
   logger = make_logger(config, step)
+  # Persist the exact resolved config for provenance: a committed curve is
+  # only reproducible when the run's full flag set survives with it.
+  if str(logdir) not in ('/dev/null', ''):
+    logdir.mkdirs()
+    config.save(str(logdir / 'config.yaml'))
 
   cleanup = []
   try:

@@ -143,9 +143,12 @@ class Config(dict):
     if filename.suffix == '.json':
       filename.write(json.dumps(dict(self)))
     elif filename.suffix in ('.yml', '.yaml'):
-      import ruamel.yaml as yaml
+      import yaml
+      # JSON round-trip canonicalizes tuples and numpy scalars into plain
+      # YAML-safe types.
+      table = json.loads(json.dumps(dict(self)))
       with filename.open('w') as f:
-        yaml.YAML(typ='safe').dump(dict(self), f)
+        yaml.safe_dump(table, f, default_flow_style=False)
     else:
       raise NotImplementedError(filename.suffix)
 
@@ -156,8 +159,8 @@ class Config(dict):
     if filename.suffix == '.json':
       return cls(json.loads(filename.read_text()))
     if filename.suffix in ('.yml', '.yaml'):
-      import ruamel.yaml as yaml
-      return cls(yaml.YAML(typ='safe').load(filename.read_text()))
+      import yaml
+      return cls(yaml.safe_load(filename.read_text()))
     raise NotImplementedError(filename.suffix)
 
   # --- Read access -------------------------------------------------------
