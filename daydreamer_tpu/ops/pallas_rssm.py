@@ -1,0 +1,482 @@
+"""Pallas TPU kernels for the RSSM sequence cells (SURVEY §7 step 7).
+
+The RSSM observe scan and the imagination rollout are the sequential hot
+loops of the train step (reference: embodied/agents/dreamerv2plus/
+nets.py:66-76,149-160 and agent.py:234-261). Under `lax.scan` XLA emits a
+while-loop whose body re-streams every weight matrix from HBM on each of
+the T (chunk) / H (imag_horizon) iterations. These kernels instead run the
+WHOLE sequence inside one Pallas program with a grid over time: weight
+blocks use a constant index map, so Mosaic keeps them resident in VMEM
+across the sequential grid steps and the loop body pays only the
+activation traffic.
+
+Layout notes:
+  - The recurrent carries (deter [B,D], stoch [B,S*C]) live in VMEM
+    scratch, which persists across grid steps on TPU (sequential grid).
+  - The stoch/action concat matmuls are expressed as split matmuls
+    (stoch @ W_s + act @ W_a), keeping every contraction dimension a
+    multiple of 128 regardless of the action width.
+  - Categorical (gumbel-max) sampling uses the per-core PRNG
+    (pltpu.prng_seed / prng_random_bits), reseeded per grid step from a
+    scalar-prefetched seed so every step draws fresh bits.
+  - Matmuls accumulate in f32 (preferred_element_type); layernorm runs in
+    f32 like nn.layers.Norm (eps 1e-3); activations stay in the compute
+    dtype between layers.
+
+These kernels are FORWARD-ONLY and exist for the measured comparison
+against `lax.scan(unroll=k)` in scripts/pallas_proof.py (PALLAS_PROOF.json
+records the verdict). Only a kernel that beats the scan end-to-end earns a
+custom-VJP production path; see the module docstring of
+ops/lambda_returns.py for the same rule applied to the λ-return kernel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+f32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Shared cell math (plain jnp, usable both inside kernels and in the
+# lax.scan reference implementation so the comparison is like-for-like).
+# ---------------------------------------------------------------------------
+
+
+def _layernorm(x, scale, bias, eps=1e-3):
+  dtype = x.dtype
+  x = x.astype(f32)
+  mean = x.mean(-1, keepdims=True)
+  var = ((x - mean) ** 2).mean(-1, keepdims=True)
+  x = (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+  return x.astype(dtype)
+
+
+def _linear_ln_elu(x, w, scale, bias):
+  y = jnp.dot(x, w, preferred_element_type=f32).astype(x.dtype)
+  return jax.nn.elu(_layernorm(y, scale, bias))
+
+
+def _gru_core(deter, x, params):
+  """Custom GRU with update-1 bias (models/nets.py:171-187), split matmul."""
+  g = (jnp.dot(deter, params['w_gru_d'], preferred_element_type=f32)
+       + jnp.dot(x, params['w_gru_x'], preferred_element_type=f32))
+  g = _layernorm(g.astype(x.dtype), params['ln_gru_scale'],
+                 params['ln_gru_bias'])
+  reset, cand, update = jnp.split(g, 3, -1)
+  reset = jax.nn.sigmoid(f32(reset))
+  cand = jnp.tanh(reset * f32(cand))
+  update = jax.nn.sigmoid(f32(update) - 1)
+  deter = update * cand + (1 - update) * f32(deter)
+  return deter.astype(x.dtype)
+
+
+def _img_cell(stoch, deter, action, params, unimix):
+  """One img_step: returns (deter', logit_f32) (models/nets.py:142-161)."""
+  x = (jnp.dot(stoch, params['w_in_s'], preferred_element_type=f32)
+       + jnp.dot(action, params['w_in_a'], preferred_element_type=f32))
+  x = jax.nn.elu(_layernorm(
+      x.astype(stoch.dtype), params['ln_in_scale'], params['ln_in_bias']))
+  deter = _gru_core(deter, x, params)
+  h = deter
+  for i in range(len(params['w_out'])):
+    h = _linear_ln_elu(h, params['w_out'][i], params['ln_out_scale'][i],
+                       params['ln_out_bias'][i])
+  logit = jnp.dot(h, params['w_st'], preferred_element_type=f32)
+  logit = logit + params['b_st'].astype(f32)
+  return deter, logit
+
+
+def _unimix_logits(logit, stoch_n, classes, unimix):
+  """[B, S*C] f32 logits -> unimix log-probs, as [B, S, C]."""
+  z = logit.reshape(logit.shape[0], stoch_n, classes)
+  probs = jax.nn.softmax(z, -1)
+  if unimix:
+    probs = (1 - unimix) * probs + unimix / classes
+  return jnp.log(probs)
+
+
+def _onehot_from_scores(scores):
+  """Hard one-hot of the argmax over the last axis (ties impossible with
+  continuous gumbel noise)."""
+  top = jnp.max(scores, -1, keepdims=True)
+  return (scores >= top).astype(scores.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation: the same cell as a lax.scan (what XLA runs
+# today inside the train step), parameterized by unroll.
+# ---------------------------------------------------------------------------
+
+
+def imagine_scan(params, stoch0, deter0, actions, seed, unimix=0.01,
+                 sample=True, unroll=1):
+  """H-step imagination rollout via lax.scan. actions: [H, B, A]."""
+  stoch_n = params['stoch_n']
+  classes = params['classes']
+
+  def step(carry, inp):
+    stoch, deter, key = carry
+    action = inp
+    deter, logit = _img_cell(stoch, deter, action, params, unimix)
+    logp = _unimix_logits(logit, stoch_n, classes, unimix)
+    key, sub = jax.random.split(key)
+    if sample:
+      g = jax.random.gumbel(sub, logp.shape, f32)
+      onehot = _onehot_from_scores(logp + g)
+    else:
+      onehot = _onehot_from_scores(logp)
+    stoch = onehot.reshape(onehot.shape[0], -1).astype(stoch.dtype)
+    return (stoch, deter, key), (deter, logit, stoch)
+
+  key = jax.random.PRNGKey(seed)
+  (_, _, _), (deters, logits, stochs) = jax.lax.scan(
+      step, (stoch0, deter0, key), actions, unroll=unroll)
+  return deters, logits, stochs
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: whole-rollout imagination with VMEM-resident weights.
+# ---------------------------------------------------------------------------
+
+
+def _imagine_kernel(unimix, stoch_n, classes, n_out, sample,
+                    seed_ref, action_ref, *refs):
+  (w_in_s, w_in_a, ln_in_s, ln_in_b, w_gru_d, w_gru_x, ln_gru_s,
+   ln_gru_b) = refs[:8]
+  outw = refs[8:8 + n_out]
+  outs = refs[8 + n_out:8 + 2 * n_out]
+  outb = refs[8 + 2 * n_out:8 + 3 * n_out]
+  (w_st, b_st, stoch0_ref, deter0_ref,
+   deter_out, logit_out, stoch_out,
+   stoch_c, deter_c) = refs[8 + 3 * n_out:]
+
+  t = pl.program_id(0)
+  if sample:
+    pltpu.prng_seed(seed_ref[0] + t)
+
+  @pl.when(t == 0)
+  def _():
+    stoch_c[:] = stoch0_ref[:]
+    deter_c[:] = deter0_ref[:]
+
+  params = {
+      'w_in_s': w_in_s[:], 'w_in_a': w_in_a[:],
+      'ln_in_scale': ln_in_s[0, :], 'ln_in_bias': ln_in_b[0, :],
+      'w_gru_d': w_gru_d[:], 'w_gru_x': w_gru_x[:],
+      'ln_gru_scale': ln_gru_s[0, :], 'ln_gru_bias': ln_gru_b[0, :],
+      'w_out': [w[:] for w in outw],
+      'ln_out_scale': [s[0, :] for s in outs],
+      'ln_out_bias': [b[0, :] for b in outb],
+      'w_st': w_st[:], 'b_st': b_st[0, :],
+  }
+  stoch, deter = stoch_c[:], deter_c[:]
+  action = action_ref[0]
+  deter, logit = _img_cell(stoch, deter, action, params, unimix)
+  logp = _unimix_logits(logit, stoch_n, classes, unimix)
+  if sample:
+    bits = pltpu.bitcast(pltpu.prng_random_bits(logp.shape), jnp.uint32)
+    u = bits.astype(f32) * (1.0 / 4294967296.0) + (0.5 / 4294967296.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    onehot = _onehot_from_scores(logp + gumbel)
+  else:
+    onehot = _onehot_from_scores(logp)
+  stoch = onehot.reshape(onehot.shape[0], -1).astype(stoch.dtype)
+
+  deter_out[0] = deter
+  logit_out[0] = logit.reshape(logit.shape[0], -1).astype(jnp.float32)
+  stoch_out[0] = stoch
+  stoch_c[:] = stoch
+  deter_c[:] = deter
+
+
+def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
+                   sample=True, interpret=False):
+  """H-step imagination rollout as ONE Pallas program (grid over time).
+
+  params: dict with w_in_s [S*C,U], w_in_a [A,U], ln_in_* [U],
+  w_gru_d [D,3D], w_gru_x [U,3D], ln_gru_* [3D], w_out (list of [.,U]),
+  ln_out_* (lists of [U]), w_st [U,S*C], b_st [S*C], stoch_n, classes.
+  actions: [H, B, A]. Returns (deters [H,B,D], logits [H,B,S*C] f32,
+  stochs [H,B,S*C]).
+  """
+  H, B, A = actions.shape
+  D = params['w_gru_d'].shape[0]
+  SC = params['w_st'].shape[1]
+  n_out = len(params['w_out'])
+  dtype = stoch0.dtype
+
+  row = lambda v: v.reshape(1, -1)
+  weights = [
+      params['w_in_s'], params['w_in_a'],
+      row(params['ln_in_scale']), row(params['ln_in_bias']),
+      params['w_gru_d'], params['w_gru_x'],
+      row(params['ln_gru_scale']), row(params['ln_gru_bias']),
+      *params['w_out'],
+      *[row(s) for s in params['ln_out_scale']],
+      *[row(b) for b in params['ln_out_bias']],
+      params['w_st'], row(params['b_st']),
+  ]
+
+  # Index maps receive (t, *scalar_prefetch_refs) under
+  # PrefetchScalarGridSpec; the seed ref is unused for indexing.
+  const = lambda shape: pl.BlockSpec(
+      shape, lambda t, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+  stepped = lambda shape: pl.BlockSpec(
+      (1,) + shape, lambda t, *_: (t,) + (0,) * len(shape),
+      memory_space=pltpu.VMEM)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(H,),
+      in_specs=[
+          stepped((B, A)),
+          *[const(w.shape) for w in weights],
+          const((B, SC)),
+          const((B, D)),
+      ],
+      out_specs=[
+          stepped((B, D)),
+          stepped((B, SC)),
+          stepped((B, SC)),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((B, SC), dtype),
+          pltpu.VMEM((B, D), dtype),
+      ],
+  )
+  kernel = functools.partial(
+      _imagine_kernel, unimix, params['stoch_n'], params['classes'],
+      n_out, sample)
+  deters, logits, stochs = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=[
+          jax.ShapeDtypeStruct((H, B, D), dtype),
+          jax.ShapeDtypeStruct((H, B, SC), jnp.float32),
+          jax.ShapeDtypeStruct((H, B, SC), dtype),
+      ],
+      interpret=interpret,
+  )(jnp.asarray([seed], jnp.int32), actions, *weights, stoch0, deter0)
+  return deters, logits, stochs
+
+
+# ---------------------------------------------------------------------------
+# Observe (posterior) sequence: obs_step chain over the chunk.
+# ---------------------------------------------------------------------------
+
+
+def observe_scan(params, stoch0, deter0, actions, embeds, is_first, seed,
+                 unimix=0.01, sample=True, unroll=1):
+  """T-step posterior scan via lax.scan (models/nets.py:87-98,120-140).
+
+  actions [T,B,A], embeds [T,B,E], is_first [T,B]. Returns post logits,
+  deters, stochs (prior stats omitted: the standalone comparison times the
+  recurrent chain; prior logits come for free in both impls)."""
+  stoch_n, classes = params['stoch_n'], params['classes']
+
+  def step(carry, inp):
+    stoch, deter, key = carry
+    action, embed, first = inp
+    keep = (1.0 - first.astype(f32))[:, None]
+    stoch = (stoch.astype(f32) * keep).astype(stoch.dtype)
+    deter = (deter.astype(f32) * keep).astype(deter.dtype)
+    action = (action.astype(f32) * keep[:, :1]).astype(action.dtype)
+    deter2, _ = _img_cell(stoch, deter, action, params, unimix)
+    x = (jnp.dot(deter2, params['w_obs_d'], preferred_element_type=f32)
+         + jnp.dot(embed, params['w_obs_e'], preferred_element_type=f32))
+    x = jax.nn.elu(_layernorm(
+        x.astype(stoch.dtype), params['ln_obs_scale'],
+        params['ln_obs_bias']))
+    logit = jnp.dot(x, params['w_post'], preferred_element_type=f32)
+    logit = logit + params['b_post'].astype(f32)
+    logp = _unimix_logits(logit, stoch_n, classes, unimix)
+    key, sub = jax.random.split(key)
+    if sample:
+      g = jax.random.gumbel(sub, logp.shape, f32)
+      onehot = _onehot_from_scores(logp + g)
+    else:
+      onehot = _onehot_from_scores(logp)
+    stoch = onehot.reshape(onehot.shape[0], -1).astype(stoch.dtype)
+    return (stoch, deter2, key), (deter2, logit, stoch)
+
+  key = jax.random.PRNGKey(seed)
+  actions = (actions.astype(f32)
+             * (1.0 - is_first.astype(f32))[..., None]).astype(actions.dtype)
+  _, (deters, logits, stochs) = jax.lax.scan(
+      step, (stoch0, deter0, key), (actions, embeds, is_first),
+      unroll=unroll)
+  return deters, logits, stochs
+
+
+def _observe_kernel(unimix, stoch_n, classes, n_out, sample,
+                    seed_ref, action_ref, embed_ref, first_ref, *refs):
+  (w_in_s, w_in_a, ln_in_s, ln_in_b, w_gru_d, w_gru_x, ln_gru_s,
+   ln_gru_b) = refs[:8]
+  outw = refs[8:8 + n_out]
+  outs = refs[8 + n_out:8 + 2 * n_out]
+  outb = refs[8 + 2 * n_out:8 + 3 * n_out]
+  (w_st, b_st, w_obs_d, w_obs_e, ln_obs_s, ln_obs_b, w_post, b_post,
+   stoch0_ref, deter0_ref,
+   deter_out, logit_out, stoch_out,
+   stoch_c, deter_c) = refs[8 + 3 * n_out:]
+
+  t = pl.program_id(0)
+  if sample:
+    pltpu.prng_seed(seed_ref[0] + t)
+
+  @pl.when(t == 0)
+  def _():
+    stoch_c[:] = stoch0_ref[:]
+    deter_c[:] = deter0_ref[:]
+
+  params = {
+      'w_in_s': w_in_s[:], 'w_in_a': w_in_a[:],
+      'ln_in_scale': ln_in_s[0, :], 'ln_in_bias': ln_in_b[0, :],
+      'w_gru_d': w_gru_d[:], 'w_gru_x': w_gru_x[:],
+      'ln_gru_scale': ln_gru_s[0, :], 'ln_gru_bias': ln_gru_b[0, :],
+      'w_out': [w[:] for w in outw],
+      'ln_out_scale': [s[0, :] for s in outs],
+      'ln_out_bias': [b[0, :] for b in outb],
+      'w_st': w_st[:], 'b_st': b_st[0, :],
+  }
+  first = first_ref[0].astype(f32)
+  keep = (1.0 - first)[:, None]
+  stoch = (stoch_c[:].astype(f32) * keep).astype(stoch_c.dtype)
+  deter = (deter_c[:].astype(f32) * keep).astype(deter_c.dtype)
+  action = (action_ref[0].astype(f32) * keep[:, :1]).astype(
+      action_ref.dtype)
+  deter, _ = _img_cell(stoch, deter, action, params, unimix)
+  embed = embed_ref[0]
+  x = (jnp.dot(deter, w_obs_d[:], preferred_element_type=f32)
+       + jnp.dot(embed, w_obs_e[:], preferred_element_type=f32))
+  x = jax.nn.elu(_layernorm(
+      x.astype(stoch.dtype), ln_obs_s[0, :], ln_obs_b[0, :]))
+  logit = jnp.dot(x, w_post[:], preferred_element_type=f32)
+  logit = logit + b_post[0, :].astype(f32)
+  logp = _unimix_logits(logit, stoch_n, classes, unimix)
+  if sample:
+    bits = pltpu.bitcast(pltpu.prng_random_bits(logp.shape), jnp.uint32)
+    u = bits.astype(f32) * (1.0 / 4294967296.0) + (0.5 / 4294967296.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    onehot = _onehot_from_scores(logp + gumbel)
+  else:
+    onehot = _onehot_from_scores(logp)
+  stoch = onehot.reshape(onehot.shape[0], -1).astype(stoch_c.dtype)
+
+  deter_out[0] = deter
+  logit_out[0] = logit.reshape(logit.shape[0], -1).astype(jnp.float32)
+  stoch_out[0] = stoch
+  stoch_c[:] = stoch
+  deter_c[:] = deter
+
+
+def observe_pallas(params, stoch0, deter0, actions, embeds, is_first, seed,
+                   unimix=0.01, sample=True, interpret=False):
+  """T-step posterior chain as ONE Pallas program (grid over time)."""
+  T, B, A = actions.shape
+  E = embeds.shape[-1]
+  D = params['w_gru_d'].shape[0]
+  SC = params['w_st'].shape[1]
+  n_out = len(params['w_out'])
+  dtype = stoch0.dtype
+
+  row = lambda v: v.reshape(1, -1)
+  weights = [
+      params['w_in_s'], params['w_in_a'],
+      row(params['ln_in_scale']), row(params['ln_in_bias']),
+      params['w_gru_d'], params['w_gru_x'],
+      row(params['ln_gru_scale']), row(params['ln_gru_bias']),
+      *params['w_out'],
+      *[row(s) for s in params['ln_out_scale']],
+      *[row(b) for b in params['ln_out_bias']],
+      params['w_st'], row(params['b_st']),
+      params['w_obs_d'], params['w_obs_e'],
+      row(params['ln_obs_scale']), row(params['ln_obs_bias']),
+      params['w_post'], row(params['b_post']),
+  ]
+
+  # Index maps receive (t, *scalar_prefetch_refs) under
+  # PrefetchScalarGridSpec; the seed ref is unused for indexing.
+  const = lambda shape: pl.BlockSpec(
+      shape, lambda t, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+  stepped = lambda shape: pl.BlockSpec(
+      (1,) + shape, lambda t, *_: (t,) + (0,) * len(shape),
+      memory_space=pltpu.VMEM)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(T,),
+      in_specs=[
+          stepped((B, A)),
+          stepped((B, E)),
+          stepped((B,)),
+          *[const(w.shape) for w in weights],
+          const((B, SC)),
+          const((B, D)),
+      ],
+      out_specs=[
+          stepped((B, D)),
+          stepped((B, SC)),
+          stepped((B, SC)),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((B, SC), dtype),
+          pltpu.VMEM((B, D), dtype),
+      ],
+  )
+  kernel = functools.partial(
+      _observe_kernel, unimix, params['stoch_n'], params['classes'],
+      n_out, sample)
+  deters, logits, stochs = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=[
+          jax.ShapeDtypeStruct((T, B, D), dtype),
+          jax.ShapeDtypeStruct((T, B, SC), jnp.float32),
+          jax.ShapeDtypeStruct((T, B, SC), dtype),
+      ],
+      interpret=interpret,
+  )(jnp.asarray([seed], jnp.int32), actions, embeds, is_first,
+    *weights, stoch0, deter0)
+  return deters, logits, stochs
+
+
+# ---------------------------------------------------------------------------
+# Parameter factory for tests / the proof harness.
+# ---------------------------------------------------------------------------
+
+
+def make_params(key, deter, units, stoch, classes, action_dim, embed_dim,
+                prior_layers=3, dtype=jnp.float32):
+  """Random cell parameters in the production layout."""
+  SC = stoch * classes
+  keys = iter(jax.random.split(key, 32))
+  uni = lambda shape: jax.random.uniform(
+      next(keys), shape, f32,
+      -np.sqrt(3.0 / np.mean(shape)), np.sqrt(3.0 / np.mean(shape))
+  ).astype(dtype)
+  ones = lambda n: jnp.ones((n,), f32)
+  zeros = lambda n: jnp.zeros((n,), f32)
+  w_out, so, bo = [], [], []
+  for i in range(prior_layers):
+    w_out.append(uni((deter if i == 0 else units, units)))
+    so.append(ones(units))
+    bo.append(zeros(units))
+  return {
+      'w_in_s': uni((SC, units)), 'w_in_a': uni((action_dim, units)),
+      'ln_in_scale': ones(units), 'ln_in_bias': zeros(units),
+      'w_gru_d': uni((deter, 3 * deter)), 'w_gru_x': uni((units, 3 * deter)),
+      'ln_gru_scale': ones(3 * deter), 'ln_gru_bias': zeros(3 * deter),
+      'w_out': w_out, 'ln_out_scale': so, 'ln_out_bias': bo,
+      'w_st': uni((units, SC)), 'b_st': zeros(SC),
+      'w_obs_d': uni((deter, units)), 'w_obs_e': uni((embed_dim, units)),
+      'ln_obs_scale': ones(units), 'ln_obs_bias': zeros(units),
+      'w_post': uni((units, SC)), 'b_post': zeros(SC),
+      'stoch_n': stoch, 'classes': classes,
+  }
