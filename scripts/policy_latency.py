@@ -99,13 +99,26 @@ def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--reps', type=int, default=50)
   parser.add_argument('--out', default='')
+  parser.add_argument('--gate', action='store_true',
+                      help='assert the robot budgets: mirror whole-call '
+                           '<= 50 ms and device whole-call minus null RTT '
+                           '<= 10 ms; exit nonzero on failure')
   args = parser.parse_args()
   import jax
   results = {'backend': str(jax.devices()[0]),
-             'null_rtt_ms': null_rtt(args.reps)}
+             'null_rtt_ms': null_rtt(args.reps),
+             'note': ('whole_ms is the gated number; the dispatch/synced/'
+                      'fetch breakdown is measured in separate loops and '
+                      'is approximate under backend jitter (the CPU-mirror '
+                      'jit also blocks differently, so its breakdown rows '
+                      'can disagree with whole_ms)')}
   agent, obs = build_agent()
   agent._policy_device = None
   results['device'] = measure(agent, obs, args.reps)
+  # The tunnel's round-trip floor drifts minute to minute; bracket the
+  # device measurement with a second RTT sample and gate against the max
+  # (the most generous estimate of the floor the device calls paid).
+  results['null_rtt_after_ms'] = null_rtt(args.reps)
   print(json.dumps({'variant': 'device', **results['device']}), flush=True)
   try:
     agent._policy_device = jax.local_devices(backend='cpu')[0]
@@ -116,8 +129,22 @@ def main():
   except RuntimeError:
     pass
   print(json.dumps({'null_rtt_ms': results['null_rtt_ms']}), flush=True)
+  if args.gate:
+    # Robot budgets: 50 ms host actor loop (reference
+    # robot_interface.py:293) and <=10 ms of true device compute beyond
+    # the backend's round-trip floor (reference tests.py:87-89 asserts
+    # 7 ms on a local device).
+    mirror = results.get('cpu_mirror', {}).get('whole_ms', float('nan'))
+    floor = max(results['null_rtt_ms'], results['null_rtt_after_ms'])
+    over_rtt = results['device']['whole_ms'] - floor
+    results['gates'] = {
+        'mirror_le_50ms': bool(mirror <= 50.0),
+        'device_minus_null_rtt_le_10ms': bool(over_rtt <= 10.0)}
+    print(json.dumps(results['gates']), flush=True)
   if args.out:
     pathlib.Path(args.out).write_text(json.dumps(results, indent=2))
+  if args.gate:
+    assert all(results['gates'].values()), results
 
 
 if __name__ == '__main__':

@@ -28,6 +28,8 @@ PAIRS = {
     'daydreamer_tpu/run/train_fixed_eval.py': 'embodied/run/train_fixed_eval.py',
     'daydreamer_tpu/run/acting.py': 'embodied/run/acting.py',
     'daydreamer_tpu/run/train.py': 'embodied/run/train.py',
+    'daydreamer_tpu/envs/atari.py': 'embodied/envs/atari.py',
+    'daydreamer_tpu/run/learning.py': 'embodied/run/learning.py',
     'daydreamer_tpu/run/learning.py': 'embodied/run/learning.py',
     'daydreamer_tpu/core/path.py': 'embodied/core/path.py',
     'daydreamer_tpu/core/timer.py': 'embodied/core/timer.py',
