@@ -150,8 +150,11 @@ def _kernel_sample_onehot(z, classes, unimix, sample, roll):
   pos = jax.lax.broadcasted_iota(jnp.int32, z.shape, len(z.shape) - 1)
   pos = pos % classes
   def uniform01():
+    # Mosaic has no uint32->f32 convert; build the uniform by bit tricks:
+    # 23 random mantissa bits under exponent 0 give [1, 2), minus 1.
     bits = pltpu.bitcast(pltpu.prng_random_bits(z.shape), jnp.uint32)
-    return bits.astype(f32) * (1.0 / 4294967296.0) + (0.5 / 4294967296.0)
+    mant = (bits >> 9) | jnp.uint32(0x3F800000)
+    return pltpu.bitcast(mant, f32) - 1.0
   gumbel = -jnp.log(-jnp.log(uniform01()))
   scores = z + gumbel
   if unimix:
@@ -396,8 +399,8 @@ def _observe_kernel(unimix, stoch_n, classes, n_out, sample, interpret,
       'ln_out_bias': [b[0, :] for b in outb],
       'w_st': w_st[:], 'b_st': b_st[0, :],
   }
-  first = first_ref[0].astype(f32)
-  keep = (1.0 - first)[:, None]
+  # is_first arrives as [1, B, 1] (scalar blocks are not lowerable).
+  keep = 1.0 - first_ref[0].astype(f32)
   stoch = (stoch_c[:].astype(f32) * keep).astype(stoch_c.dtype)
   deter = (deter_c[:].astype(f32) * keep).astype(deter_c.dtype)
   action = (action_ref[0].astype(f32) * keep[:, :1]).astype(
@@ -461,7 +464,7 @@ def observe_pallas(params, stoch0, deter0, actions, embeds, is_first, seed,
       in_specs=[
           stepped((B, A)),
           stepped((B, E)),
-          stepped((B,)),
+          stepped((B, 1)),
           *[const(w.shape) for w in weights],
           const((B, SC)),
           const((B, D)),
@@ -488,8 +491,8 @@ def observe_pallas(params, stoch0, deter0, actions, embeds, is_first, seed,
           jax.ShapeDtypeStruct((T, B, SC), dtype),
       ],
       interpret=interpret,
-  )(jnp.asarray([seed], jnp.int32), actions, embeds, is_first,
-    *weights, stoch0, deter0)
+  )(jnp.asarray([seed], jnp.int32), actions, embeds,
+    is_first.reshape(T, B, 1), *weights, stoch0, deter0)
   return deters, logits, stochs
 
 

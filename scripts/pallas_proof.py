@@ -144,18 +144,26 @@ def rssm_case(name, cell, B, T, D, U, S, C, A, E, dtype_name, unrolls):
   embeds = jax.random.normal(k4, (T, B, E)).astype(dtype)
   is_first = jnp.zeros((T, B), bool).at[0].set(True)
 
+  # Close over params (static ints stoch_n/classes live in the dict, so
+  # it cannot be a traced jit argument; the weights become executable
+  # constants, identically for both implementations).
   if cell == 'imagine':
-    scan_fn = lambda unroll: jax.jit(functools.partial(
-        pr.imagine_scan, sample=True, unroll=unroll))
-    pallas_fn = jax.jit(functools.partial(
-        pr.imagine_pallas, sample=True, interpret=not on_tpu))
-    args = (params, stoch0, deter0, actions, 3)
+    scan_fn = lambda unroll: jax.jit(
+        lambda st, de, ac: pr.imagine_scan(
+            params, st, de, ac, 3, sample=True, unroll=unroll))
+    pallas_fn = jax.jit(
+        lambda st, de, ac: pr.imagine_pallas(
+            params, st, de, ac, 3, sample=True, interpret=not on_tpu))
+    args = (stoch0, deter0, actions)
   else:
-    scan_fn = lambda unroll: jax.jit(functools.partial(
-        pr.observe_scan, sample=True, unroll=unroll))
-    pallas_fn = jax.jit(functools.partial(
-        pr.observe_pallas, sample=True, interpret=not on_tpu))
-    args = (params, stoch0, deter0, actions, embeds, is_first, 3)
+    scan_fn = lambda unroll: jax.jit(
+        lambda st, de, ac, em, fi: pr.observe_scan(
+            params, st, de, ac, em, fi, 3, sample=True, unroll=unroll))
+    pallas_fn = jax.jit(
+        lambda st, de, ac, em, fi: pr.observe_pallas(
+            params, st, de, ac, em, fi, 3, sample=True,
+            interpret=not on_tpu))
+    args = (stoch0, deter0, actions, embeds, is_first)
 
   row = {'cell': cell, 'shape': name, 'dtype': dtype_name,
          'B': B, 'T': T, 'deter': D, 'units': U, 'stoch': [S, C]}
@@ -194,18 +202,18 @@ def rssm_correctness():
   actions = jax.random.normal(k3, (T, B, 12), jnp.float32)
   embeds = jax.random.normal(k4, (T, B, 512), jnp.float32)
   isf = jnp.zeros((T, B), bool).at[0].set(True)
-  d1, l1, s1 = pr.imagine_scan(
-      params, stoch0, deter0, actions, 0, sample=False)
-  d2, l2, s2 = pr.imagine_pallas(
+  d1, l1, s1 = jax.jit(lambda: pr.imagine_scan(
+      params, stoch0, deter0, actions, 0, sample=False))()
+  d2, l2, s2 = jax.jit(lambda: pr.imagine_pallas(
       params, stoch0, deter0, actions, 0, sample=False,
-      interpret=not on_tpu)
+      interpret=not on_tpu))()
   dmax = float(jnp.abs(d1 - d2).max())
   agree = float((s1 == s2).mean())
-  od1, ol1, os1 = pr.observe_scan(
-      params, stoch0, deter0, actions, embeds, isf, 0, sample=False)
-  od2, ol2, os2 = pr.observe_pallas(
+  od1, ol1, os1 = jax.jit(lambda: pr.observe_scan(
+      params, stoch0, deter0, actions, embeds, isf, 0, sample=False))()
+  od2, ol2, os2 = jax.jit(lambda: pr.observe_pallas(
       params, stoch0, deter0, actions, embeds, isf, 0, sample=False,
-      interpret=not on_tpu)
+      interpret=not on_tpu))()
   out = {
       'imagine_deter_maxdiff': dmax, 'imagine_stoch_agree': agree,
       'observe_deter_maxdiff': float(jnp.abs(od1 - od2).max()),
@@ -216,8 +224,8 @@ def rssm_correctness():
     # in interpreter mode): every group must be exactly one-hot, steps
     # must differ, and the empirical class histogram must roughly track
     # the unimix-mixture probabilities.
-    _, _, s3 = pr.imagine_pallas(
-        params, stoch0, deter0, actions, 11, sample=True)
+    _, _, s3 = jax.jit(lambda: pr.imagine_pallas(
+        params, stoch0, deter0, actions, 11, sample=True))()
     sums = s3.reshape(T, B, 32, 32).sum(-1)
     out['sample_onehot_ok'] = bool((sums == 1.0).all())
     out['sample_steps_differ'] = bool((s3[0] != s3[1]).any())
