@@ -216,13 +216,16 @@ def _imagine_kernel(unimix, stoch_n, classes, n_out, sample, interpret,
    stoch_c, deter_c) = refs[8 + 3 * n_out:]
 
   t = pl.program_id(0)
+  b = pl.program_id(1)
   if sample:
-    pltpu.prng_seed(seed_ref[0] + t)
+    pltpu.prng_seed(seed_ref[0] + t * pl.num_programs(1) + b)
+  blk = action_ref.shape[1]
+  rows = pl.ds(b * blk, blk)
 
   @pl.when(t == 0)
   def _():
-    stoch_c[:] = stoch0_ref[:]
-    deter_c[:] = deter0_ref[:]
+    stoch_c[rows] = stoch0_ref[rows]
+    deter_c[rows] = deter0_ref[rows]
 
   params = {
       'w_in_s': w_in_s[:], 'w_in_a': w_in_a[:],
@@ -234,7 +237,7 @@ def _imagine_kernel(unimix, stoch_n, classes, n_out, sample, interpret,
       'ln_out_bias': [b[0, :] for b in outb],
       'w_st': w_st[:], 'b_st': b_st[0, :],
   }
-  stoch, deter = stoch_c[:], deter_c[:]
+  stoch, deter = stoch_c[rows], deter_c[rows]
   action = action_ref[0]
   deter, logit = _img_cell(stoch, deter, action, params, unimix)
   roll = ((lambda a, k: jnp.roll(a, k, axis=-1)) if interpret else
@@ -245,13 +248,20 @@ def _imagine_kernel(unimix, stoch_n, classes, n_out, sample, interpret,
   deter_out[0] = deter
   logit_out[0] = logit.reshape(logit.shape[0], -1).astype(jnp.float32)
   stoch_out[0] = stoch
-  stoch_c[:] = stoch
-  deter_c[:] = deter
+  stoch_c[rows] = stoch
+  deter_c[rows] = deter
 
 
 def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
-                   sample=True, interpret=False):
-  """H-step imagination rollout as ONE Pallas program (grid over time).
+                   sample=True, interpret=False, block_rows=256):
+  """H-step imagination rollout as ONE Pallas program.
+
+  Grid is (time, row-blocks): row blocks bound the per-step VMEM working
+  set (imagination runs on B*T flattened lanes, e.g. 1024 — the full
+  per-step activations plus double-buffered outputs would blow the 16 MB
+  scoped VMEM limit), while the full-size recurrent carries persist in
+  VMEM scratch across the sequential grid and each block updates its own
+  row slice.
 
   params: dict with w_in_s [S*C,U], w_in_a [A,U], ln_in_* [U],
   w_gru_d [D,3D], w_gru_x [U,3D], ln_gru_* [3D], w_out (list of [.,U]),
@@ -264,6 +274,9 @@ def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
   SC = params['w_st'].shape[1]
   n_out = len(params['w_out'])
   dtype = stoch0.dtype
+  blk = min(block_rows, B)
+  assert B % blk == 0, (B, blk)
+  nb = B // blk
 
   row = lambda v: v.reshape(1, -1)
   weights = [
@@ -277,27 +290,27 @@ def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
       params['w_st'], row(params['b_st']),
   ]
 
-  # Index maps receive (t, *scalar_prefetch_refs) under
+  # Index maps receive (t, b, *scalar_prefetch_refs) under
   # PrefetchScalarGridSpec; the seed ref is unused for indexing.
   const = lambda shape: pl.BlockSpec(
-      shape, lambda t, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+      shape, lambda t, b, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
   stepped = lambda shape: pl.BlockSpec(
-      (1,) + shape, lambda t, *_: (t,) + (0,) * len(shape),
+      (1, blk) + shape, lambda t, b, *_: (t, b) + (0,) * len(shape),
       memory_space=pltpu.VMEM)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
-      grid=(H,),
+      grid=(H, nb),
       in_specs=[
-          stepped((B, A)),
+          stepped((A,)),
           *[const(w.shape) for w in weights],
           const((B, SC)),
           const((B, D)),
       ],
       out_specs=[
-          stepped((B, D)),
-          stepped((B, SC)),
-          stepped((B, SC)),
+          stepped((D,)),
+          stepped((SC,)),
+          stepped((SC,)),
       ],
       scratch_shapes=[
           pltpu.VMEM((B, SC), dtype),
