@@ -252,8 +252,23 @@ def _imagine_kernel(unimix, stoch_n, classes, n_out, sample, interpret,
   deter_c[rows] = deter
 
 
+def _auto_block_rows(B, D, U, SC, A, weights_bytes, budget=12 * 2**20):
+  """Largest row block whose estimated VMEM working set fits the budget
+  (the Mosaic scoped-VMEM limit is 16MB; leave headroom for spills)."""
+  itemsize = 2  # bf16 activations; logits are f32 (x2 below).
+  carries = B * (SC + D) * itemsize
+  for blk in (512, 256, 128, 64, 32, 16, 8):
+    if blk > B:
+      continue
+    stepped = 2 * blk * (A + D + SC + 2 * SC) * itemsize  # double-buffered
+    live = blk * (3 * D + 2 * U + 2 * SC) * 4              # f32 temps
+    if weights_bytes + carries + stepped + live <= budget:
+      return blk
+  return 8
+
+
 def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
-                   sample=True, interpret=False, block_rows=256):
+                   sample=True, interpret=False, block_rows=None):
   """H-step imagination rollout as ONE Pallas program.
 
   Grid is (time, row-blocks): row blocks bound the per-step VMEM working
@@ -274,6 +289,13 @@ def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
   SC = params['w_st'].shape[1]
   n_out = len(params['w_out'])
   dtype = stoch0.dtype
+  if block_rows is None:
+    U = params['w_in_s'].shape[1]
+    weights_bytes = sum(
+        int(np.prod(w.shape)) * w.dtype.itemsize
+        for w in (params['w_in_s'], params['w_in_a'], params['w_gru_d'],
+                  params['w_gru_x'], params['w_st'], *params['w_out']))
+    block_rows = _auto_block_rows(B, D, U, SC, A, weights_bytes)
   blk = min(block_rows, B)
   assert B % blk == 0, (B, blk)
   nb = B // blk

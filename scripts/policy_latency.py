@@ -27,22 +27,34 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def build_agent():
+def build_agent(shape='test'):
   import daydreamer_tpu as ddt
   from daydreamer_tpu.agents.dreamer import Agent
   from daydreamer_tpu.envs import load_env
   config = ddt.Config(Agent.configs['defaults'])
-  config = config.update({
-      'env.parallel': 'none', 'replay_chunk': 8, 'batch_size': 8,
-      r'.*\.layers': 2, r'.*\.units': 128, r'.*\.cnn_depth': 16,
-      r'.*\.wd$': 0.0,
-  })
-  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  if shape == 'test':
+    config = config.update({
+        'env.parallel': 'none', 'replay_chunk': 8, 'batch_size': 8,
+        r'.*\.layers': 2, r'.*\.units': 128, r'.*\.cnn_depth': 16,
+        r'.*\.wd$': 0.0,
+    })
+    task = 'dummy_discrete'
+  elif shape == 'a1':
+    # The actual robot-actor shape: proprio-only a1 config. The TEST
+    # shape's CPU-mirror number is dominated by its batch-1 image CNN,
+    # which the quadruped policy does not run.
+    config = config.update(Agent.configs['a1'])
+    config = config.update({'env.parallel': 'none', r'.*\.wd$': 0.0})
+    task = 'a1_dummy'
+  else:
+    raise NotImplementedError(shape)
+  env = load_env(task, amount=1, parallel='none', length=10)
   agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
   obs = {}
   for key, space in env.obs_space.items():
     obs[key] = np.zeros((1,) + space.shape, space.dtype)
-  obs['image'] = np.random.randint(0, 255, (1, 64, 64, 3), np.uint8)
+  if 'image' in obs:
+    obs['image'] = np.random.randint(0, 255, (1, 64, 64, 3), np.uint8)
   obs['is_first'][:] = True
   env.close()
   return agent, obs
@@ -98,6 +110,7 @@ def null_rtt(reps):
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--reps', type=int, default=50)
+  parser.add_argument('--shape', default='test', choices=['test', 'a1'])
   parser.add_argument('--out', default='')
   parser.add_argument('--gate', action='store_true',
                       help='assert the robot budgets: mirror whole-call '
@@ -106,13 +119,14 @@ def main():
   args = parser.parse_args()
   import jax
   results = {'backend': str(jax.devices()[0]),
+             'shape': args.shape,
              'null_rtt_ms': null_rtt(args.reps),
              'note': ('whole_ms is the gated number; the dispatch/synced/'
                       'fetch breakdown is measured in separate loops and '
                       'is approximate under backend jitter (the CPU-mirror '
                       'jit also blocks differently, so its breakdown rows '
                       'can disagree with whole_ms)')}
-  agent, obs = build_agent()
+  agent, obs = build_agent(args.shape)
   agent._policy_device = None
   results['device'] = measure(agent, obs, args.reps)
   # The tunnel's round-trip floor drifts minute to minute; bracket the
