@@ -117,12 +117,23 @@ def main():
   parser.add_argument('--hosts', type=int, default=2)
   parser.add_argument('--seconds', type=float, default=10.0)
   parser.add_argument('--learner-devices', type=int, default=4)
+  parser.add_argument('--phase', default='all',
+                      choices=['all', 'actors', 'learner'],
+                      help='re-run one phase (phases are sensitive to '
+                           'external CPU load; rerun cleanly if polluted)')
   args = parser.parse_args()
   if args.actor:
     actor_main(args.seconds)
     return
 
   cores = len(os.sched_getaffinity(0))
+  if args.phase in ('all', 'actors'):
+    _measure_actor_phase(args, cores)
+  if args.phase in ('all', 'learner'):
+    _measure_learner_phase(args, cores)
+
+
+def _measure_actor_phase(args, cores):
   one = measure_actors(1, args.seconds)
   many = measure_actors(args.hosts, args.seconds)
   # With more emulated hosts than physical cores the per-host CPU budget
@@ -146,6 +157,8 @@ def main():
                      many / (args.hosts * one), 3)},
   }))
 
+
+def _measure_learner_phase(args, cores):
   n_learners = max(2, min(args.hosts, 4))
   single = measure_learner(1, args.learner_devices)
   multi = measure_learner(n_learners, args.learner_devices)
