@@ -241,7 +241,7 @@ def _post_fwd(w_obs_d, w_obs_e, ln_s, ln_b, w_post, b_post,
 
 
 def _obs_fwd_kernel(unimix, classes, n_out, sample, interpret,
-                    seed_ref, action_ref, embed_ref, first_ref, *refs):
+                    action_ref, embed_ref, first_ref, gumbel_ref, *refs):
   w, rest = _unpack(refs, n_out)
   (w_st, b_st, w_obs_d, w_obs_e, ln_obs_s, ln_obs_b, w_post, b_post,
    stoch0_ref, deter0_ref,
@@ -249,8 +249,6 @@ def _obs_fwd_kernel(unimix, classes, n_out, sample, interpret,
    stoch_c, deter_c) = rest
 
   t = pl.program_id(0)
-  if sample:
-    pltpu.prng_seed(seed_ref[0] + t)
   roll = _roll_for(interpret)
 
   @pl.when(t == 0)
@@ -266,12 +264,10 @@ def _obs_fwd_kernel(unimix, classes, n_out, sample, interpret,
                  fw['d_t'], embed_ref[0], unimix, classes, roll)
   z = po['post_logit']
   if sample:
-    logp = jnp.log(po['probs'])
-    bits = pltpu.bitcast(pltpu.prng_random_bits(z.shape), jnp.uint32)
-    mant = (bits >> 9) | jnp.uint32(0x3F800000)
-    uni = pltpu.bitcast(mant, f32) - 1.0
-    g = -jnp.log(-jnp.log(uni))
-    scores = logp + g
+    # Gumbel noise arrives as an input (generated with jax.random in the
+    # wrapper): identical behavior on TPU and in interpreter tests, and
+    # the HBM read is negligible next to the chain's compute.
+    scores = jnp.log(po['probs']) + gumbel_ref[0].astype(f32)
   else:
     scores = po['probs']
   onehot = (scores >= _seg_max(scores, classes, roll)).astype(f32)
@@ -415,14 +411,14 @@ def _weight_list(flat):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _observe_fused(cfg, flat, stoch0, deter0, actions, embeds, is_first,
-                   seed):
+                   gumbel):
   out, _ = _observe_fused_fwd(cfg, flat, stoch0, deter0, actions, embeds,
-                              is_first, seed)
+                              is_first, gumbel)
   return out
 
 
 def _observe_fused_fwd(cfg, flat, stoch0, deter0, actions, embeds,
-                       is_first, seed):
+                       is_first, gumbel):
   unimix, sample, interpret, classes = cfg
   n_out = len(flat[8])
   T, B, A = actions.shape
@@ -439,10 +435,11 @@ def _observe_fused_fwd(cfg, flat, stoch0, deter0, actions, embeds,
       memory_space=pltpu.VMEM)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=1,
+      num_scalar_prefetch=0,
       grid=(T,),
       in_specs=[
           stepped((B, A)), stepped((B, E)), stepped((B, 1)),
+          stepped((B, SC)),
           *[const(w.shape) for w in weights],
           const((B, SC)), const((B, D)),
       ],
@@ -467,8 +464,8 @@ def _observe_fused_fwd(cfg, flat, stoch0, deter0, actions, embeds,
           jax.ShapeDtypeStruct((T, B, SC), dtype),
       ],
       interpret=interpret,
-  )(jnp.asarray([seed], jnp.int32), actions, embeds,
-    is_first.reshape(T, B, 1), *weights, stoch0, deter0)
+  )(actions, embeds, is_first.reshape(T, B, 1), gumbel,
+    *weights, stoch0, deter0)
   out = (deters, post_logits, prior_logits, stochs)
   res = (flat, stoch0, deter0, actions, embeds, is_first,
          deters, post_logits, stochs)
@@ -618,10 +615,11 @@ def _observe_fused_bwd(cfg, res, cts):
   da = jnp.einsum('tbu,au->tba', dz1, f32(w_in_a)) * keep
   de = jnp.einsum('tbu,eu->tbe', dz2, f32(w_obs_e))
   zero_f0 = np.zeros(is_first.shape, jax.dtypes.float0)
-  zero_seed = np.zeros((), jax.dtypes.float0)
+  T_, B_, SC_ = dpl.shape
+  zero_gum = jnp.zeros((T_, B_, SC_), f32)
   return (grads, ds0.astype(stoch0.dtype), dd0.astype(deter0.dtype),
           da.astype(actions.dtype), de.astype(embeds.dtype),
-          zero_f0, zero_seed)
+          zero_f0, zero_gum)
 
 
 _observe_fused.defvjp(_observe_fused_fwd, _observe_fused_bwd)
@@ -637,5 +635,12 @@ def observe_fused(params, stoch0, deter0, actions, embeds, is_first, seed,
   flat, _ = _flatten_params(params)
   cfg = (float(unimix), bool(sample), bool(interpret),
          int(params['classes']))
+  T, B = actions.shape[:2]
+  SC = params['w_st'].shape[1]
+  if sample:
+    gumbel = jax.random.gumbel(
+        jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32)), (T, B, SC), f32)
+  else:
+    gumbel = jnp.zeros((T, B, SC), f32)
   return _observe_fused(cfg, flat, stoch0, deter0, actions, embeds,
-                        is_first, jnp.asarray(seed, jnp.int32))
+                        is_first, gumbel)

@@ -116,3 +116,53 @@ def test_fused_gradients_match_scan(setup):
     np.testing.assert_allclose(
         a / scale, b / scale, rtol=5e-3, atol=5e-3,
         err_msg=f'grad leaf {name}')
+
+
+def _tiny_agent(impl):
+  import daydreamer_tpu as ddt
+  from daydreamer_tpu.agents.dreamer import Agent
+  from daydreamer_tpu.envs import load_env
+  config = ddt.Config(Agent.configs['defaults'])
+  config = config.update({
+      'env.parallel': 'none', 'jax.platform': 'cpu',
+      'jax.precision': 'float32', 'batch_size': 4, 'replay_chunk': 6,
+      'imag_horizon': 3, r'.*\.layers': 2, r'.*\.units': 32,
+      'rssm.deter': 32, 'rssm.units': 32, 'rssm.stoch': 4,
+      'rssm.classes': 8, 'rssm.unroll': 1, 'imag_unroll': 1,
+      'rssm.impl': impl,
+      'encoder.cnn_keys': '$^', 'decoder.cnn_keys': '$^',
+      r'.*\.wd$': 0.0,
+  })
+  env = load_env('dummy_continuous', amount=1, parallel='none', length=10)
+  agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
+  data = {}
+  for key, space in env.obs_space.items():
+    data[key] = np.zeros((4, 6) + space.shape, space.dtype)
+  data['action'] = np.zeros(
+      (4, 6) + env.act_space['action'].shape, np.float32)
+  data['is_first'][:, 0] = True
+  data['reward'] = np.random.default_rng(0).uniform(
+      0, 1, (4, 6)).astype(np.float32)
+  env.close()
+  return agent, data
+
+
+@pytest.mark.slow
+def test_fused_impl_trains_end_to_end():
+  """rssm.impl=pallas: full agent train steps run (interpret mode on CPU)
+  with finite decreasing world-model loss and the SAME parameter set as
+  the scan implementation (creation runs the scan path, so checkpoints
+  and optimizer wiring are identical)."""
+  agent_p, data = _tiny_agent('pallas')
+  agent_s, _ = _tiny_agent('scan')
+  agent_p._create()
+  agent_s._create()
+  assert sorted(agent_p.varibs) == sorted(agent_s.varibs)
+
+  losses = []
+  state = None
+  for _ in range(6):
+    outs, state, mets = agent_p.train(data, state)
+    losses.append(float(mets['model_loss_mean']))
+  assert np.isfinite(losses).all(), losses
+  assert losses[-1] < losses[0], losses
