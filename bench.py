@@ -282,6 +282,10 @@ def main():
       'decoder.cnn_keys': 'image|depth',
       'encoder.mlp_keys': 'cartesian|joint|gripper|grasped',
       'decoder.mlp_keys': 'cartesian|joint|gripper|grasped',
+      # The fused Pallas observe chain wins +12% end-to-end at this shape
+      # (FUSED_IMPL_BENCH.json); it is the production default for the
+      # deter-512 robot configs.
+      'rssm.impl': 'pallas',
   })
   xarm_res, _ = measure_updates(
       agent_xarm, data_xarm, K=16, sample_budget_s=120.0, calls=1)
