@@ -43,8 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_rssm import (
-    _elu, _layernorm, _seg_max, _auto_block_rows)
+from .pallas_rssm import _seg_max
 
 f32 = jnp.float32
 
@@ -176,9 +175,6 @@ def observe_scan_full(params, stoch0, deter0, actions, embeds, is_first,
 # ---------------------------------------------------------------------------
 # Forward kernel (full production outputs).
 # ---------------------------------------------------------------------------
-
-_N_WEIGHTS = 8  # leading fixed refs before the w_out groups
-
 
 def _unpack(refs, n_out):
   (w_in_s, w_in_a, ln_in_s, ln_in_b, w_gru_d, w_gru_x, ln_gru_s,
