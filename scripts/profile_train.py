@@ -29,18 +29,29 @@ def timeit(fn, n=30, warmup=3):
 
 
 def main():
+  import argparse
   import jax
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--shape', default='test', choices=['test', 'a1'])
+  args = parser.parse_args()
   config = ddt.Config(Agent.configs['defaults'])
-  config = config.update({
-      'replay_chunk': 8, 'batch_size': 8,
-      r'.*\.layers': 2, r'.*\.units': 128, r'.*\.cnn_depth': 16,
-      r'.*\.wd$': 0.0,
-  })
-  env = load_env('dummy_discrete', amount=1, parallel='none', length=10)
+  if args.shape == 'test':
+    config = config.update({
+        'replay_chunk': 8, 'batch_size': 8,
+        r'.*\.layers': 2, r'.*\.units': 128, r'.*\.cnn_depth': 16,
+        r'.*\.wd$': 0.0,
+    })
+    task, B, T = 'dummy_discrete', 8, 8
+  else:
+    config = config.update(Agent.configs['a1'])
+    config = config.update({
+        'env.parallel': 'none', r'.*\.wd$': 0.0,
+        'rssm.unroll': 2, 'imag_unroll': 3})
+    task, B, T = 'a1_dummy', 32, 32
+  env = load_env(task, amount=1, parallel='none', length=10)
   agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
   env.close()
   agent._create()
-  B, T = 8, 8
   data = agent._dummy_batch(B, T)
   data = {k: v for k, v in data.items() if k != 'reset'}
 
@@ -76,6 +87,21 @@ def main():
   obs_fn(varibs, np.uint32(0), data, carry0)
   t_obs = timeit(lambda: obs_fn(varibs, np.uint32(1), data, carry0))
   print(f'encoder+observe fwd: {t_obs * 1000:.2f} ms')
+
+  # Imagination forward probe: the rollout chain at its production width
+  # (B*T flattened lanes, imag_horizon steps, actions given).
+  H = int(config.imag_horizon)
+  act_dim = int(np.prod(agent.act_space['action'].shape))
+  imag_actions = np.zeros((B * T, H, act_dim), np.float32)
+
+  def imag_only(acts):
+    start = inner.wm.rssm.initial(B * T)
+    return inner.wm.rssm.imagine(acts, start)['deter']
+
+  imag_fn = jax.jit(nn.pure(imag_only))
+  imag_fn(varibs, np.uint32(0), imag_actions)
+  t_imag = timeit(lambda: imag_fn(varibs, np.uint32(1), imag_actions))
+  print(f'imagination fwd (H={H}, {B * T} lanes): {t_imag * 1000:.2f} ms')
 
   def policy_once():
     obs = {k: v[:, 0] for k, v in data.items() if k != 'action'}
