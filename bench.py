@@ -239,8 +239,46 @@ def cache_state():
   return cache, entries
 
 
-def main():
+def main(argv=None):
+  import argparse
+  parser = argparse.ArgumentParser()
+  parser.add_argument(
+      '--shape', default='all',
+      choices=['all', 'test', 'a1', 'xarm'],
+      help='measure one shape in isolation. FUSED_DISPATCH_ANOMALY.json: '
+           'the a1-shape fused dispatch runs ~100x faster in a process '
+           'that builds only the a1 agent than after the TEST agent + '
+           'policy sections have run in the same process; per-shape '
+           'invocation is the isolation/bisection tool.')
+  args = parser.parse_args(argv)
   cache_dir, cache_entries = cache_state()
+
+  if args.shape != 'all':
+    shape = {'test': ('dummy_discrete', {
+                 'replay_chunk': 8, 'batch_size': 8,
+                 r'.*\.layers': 2, r'.*\.units': 128,
+                 r'.*\.cnn_depth': 16}, 256),
+             'a1': ('a1_dummy', {
+                 'replay_chunk': 32, 'batch_size': 32,
+                 'rssm.deter': 256, 'rssm.units': 256,
+                 'encoder.cnn_keys': '$^', 'decoder.cnn_keys': '$^',
+                 'encoder.mlp_keys': 'vector',
+                 'decoder.mlp_keys': 'vector'}, 64),
+             'xarm': ('xarm_dummy', {
+                 'replay_chunk': 32, 'batch_size': 32,
+                 'rssm.deter': 512, 'rssm.units': 512,
+                 'encoder.cnn_keys': 'image|depth',
+                 'decoder.cnn_keys': 'image|depth',
+                 'encoder.mlp_keys': 'cartesian|joint|gripper|grasped',
+                 'decoder.mlp_keys': 'cartesian|joint|gripper|grasped',
+                 'rssm.impl': 'pallas'}, 16)}[args.shape]
+    task, overrides, K = shape
+    agent, data = build_agent(task, overrides)
+    res, _ = measure_updates(
+        agent, data, K=K, sample_budget_s=180.0, calls=1)
+    print(json.dumps({'metric': f'{args.shape}_updates_per_s',
+                      'value': res['updates_per_s'], **res}))
+    return
 
   # 1. TEST_CONFIG shape (headline; reference bar 50 updates/s).
   agent, data = build_agent('dummy_discrete', {

@@ -18,8 +18,14 @@ from daydreamer_tpu.envs import load_env
 
 def timeit(fn, n=30, warmup=3):
   import jax
+  import numpy as _np
   for _ in range(warmup):
     out = fn()
+  # Force a device->host fetch: on the tunneled axon backend
+  # block_until_ready does not truly synchronize until the process has
+  # fetched once (FUSED_DISPATCH_ANOMALY.json) - without this the loop
+  # times async enqueue, not execution.
+  _np.asarray(jax.tree.leaves(out)[0])
   jax.block_until_ready(out)
   start = time.time()
   for _ in range(n):
