@@ -245,11 +245,9 @@ def main(argv=None):
   parser.add_argument(
       '--shape', default='all',
       choices=['all', 'test', 'a1', 'xarm'],
-      help='measure one shape in isolation. FUSED_DISPATCH_ANOMALY.json: '
-           'the a1-shape fused dispatch runs ~100x faster in a process '
-           'that builds only the a1 agent than after the TEST agent + '
-           'policy sections have run in the same process; per-shape '
-           'invocation is the isolation/bisection tool.')
+      help='measure one shape in isolation (same methodology as the '
+           'full run: warmup materializes a metric, so timings are '
+           'fetch-synchronized - see FUSED_DISPATCH_ANOMALY.json).')
   args = parser.parse_args(argv)
   cache_dir, cache_entries = cache_state()
 
