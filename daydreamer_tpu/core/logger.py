@@ -25,8 +25,7 @@ class Logger:
     self.step = step
     self._outputs = outputs
     self._multiplier = multiplier
-    self._last_step = None
-    self._last_time = None
+    self._fps_anchor = None  # (wall time, scaled step) of the last write.
     self._metrics = []
 
   def add(self, mapping, prefix=None):
@@ -58,16 +57,15 @@ class Logger:
     self._metrics.clear()
 
   def _compute_fps(self):
+    # Steps per second since the previous write, from a single anchor
+    # tuple that rolls forward on every call.
+    now = time.time()
     step = int(self.step) * self._multiplier
-    if self._last_step is None:
-      self._last_time = time.time()
-      self._last_step = step
-      return 0
-    steps = step - self._last_step
-    duration = time.time() - self._last_time
-    self._last_time += duration
-    self._last_step = step
-    return steps / duration
+    anchor, self._fps_anchor = self._fps_anchor, (now, step)
+    if anchor is None:
+      return 0.0
+    elapsed = now - anchor[0]
+    return (step - anchor[1]) / elapsed if elapsed > 0 else 0.0
 
 
 class AsyncOutput:
@@ -105,21 +103,19 @@ class TerminalOutput:
     print(' / '.join(f'{k} {v}' for k, v in formatted.items()))
 
   def _format_value(self, value):
+    # Compact display: trimmed two-decimal fixed point in the readable
+    # range, mantissa'e'exponent scientific notation outside it.
     if value == 0:
       return '0'
-    elif 0.01 < abs(value) < 10000:
-      value = f'{value:.2f}'
-      value = value.rstrip('0')
-      value = value.rstrip('0')
-      value = value.rstrip('.')
-      return value
-    else:
-      value = f'{value:.1e}'
-      value = value.replace('.0e', 'e')
-      value = value.replace('+0', '')
-      value = value.replace('+', '')
-      value = value.replace('-0', '-')
-    return value
+    if 0.01 < abs(value) < 10000:
+      text = f'{value:.2f}'
+      while text[-1] == '0':
+        text = text[:-1]
+      return text[:-1] if text[-1] == '.' else text
+    mantissa, _, exponent = f'{value:.1e}'.partition('e')
+    if mantissa.endswith('.0'):
+      mantissa = mantissa[:-2]
+    return f'{mantissa}e{int(exponent)}'
 
 
 class JSONLOutput(AsyncOutput):

@@ -102,9 +102,14 @@ class AleSession:
     return reward, over
 
   def life_lost(self):
+    # Snapshot only on losses (matching the reference's lives handling,
+    # reference: embodied/envs/atari.py): after an extra-life GAIN the
+    # counter keeps its old value, so dropping back to it is not flagged
+    # as a death.
     current = self.ale.lives()
     lost = current < self.lives
-    self.lives = current
+    if lost:
+      self.lives = current
     return lost
 
 

@@ -155,15 +155,20 @@ class RSSM(Module):
     deters, post_logits, prior_logits, stochs = prv.observe_fused(
         params, stoch0, deter0, acts, cast(swap(embed)), swap(is_first),
         seed, unimix=self._unimix, sample=True,
-        interpret=jax.default_backend() != 'tpu')
+        interpret=jax.devices()[0].platform not in ('tpu', 'axon'))
     shape = lambda x: x.reshape(
         x.shape[:2] + (self._stoch, self._classes))
     dtype = stoch0.dtype
+    # The kernel returns RAW stats-layer logits; the scan path stores
+    # unimix log-probs (see _stats_layer), which get_dist/kl_loss consume.
+    # Apply the same mixture here so both impls optimize the same KL; the
+    # plain-jnp transform composes with the kernel's custom VJP.
+    post_logit = self._unimix_logit(swap(shape(post_logits)))
     post = {
         'stoch': swap(shape(stochs)).astype(dtype),
         'deter': swap(deters).astype(dtype),
-        'logit': swap(shape(post_logits)).astype(dtype)}
-    prior_logit = swap(shape(prior_logits))
+        'logit': post_logit.astype(dtype)}
+    prior_logit = self._unimix_logit(swap(shape(prior_logits)))
     prior_mode = jax.nn.one_hot(
         jnp.argmax(prior_logit, -1), self._classes, dtype=f32)
     prior = {
@@ -261,6 +266,17 @@ class RSSM(Module):
     deter = update * cand + (1 - update) * cast(deter)
     return deter, deter
 
+  def _unimix_logit(self, logit):
+    # Mix the categorical with a uniform floor and store log-probs, so
+    # every consumer (KL, entropy, sampling) sees the same distribution.
+    if not self._unimix:
+      return logit
+    dtype = logit.dtype
+    probs = jax.nn.softmax(f32(logit), -1)
+    uniform = jnp.ones_like(probs) / probs.shape[-1]
+    probs = (1 - self._unimix) * probs + self._unimix * uniform
+    return jnp.log(probs).astype(dtype)
+
   def _stats_layer(self, name, x):
     # Stats stay in the compute dtype so the scan carry has a uniform
     # dtype; get_dist casts to float32 for the distribution math.
@@ -268,11 +284,7 @@ class RSSM(Module):
       x = self.sub(name, Linear, self._stoch * self._classes)(x)
       logit = x.reshape(
           x.shape[:-1] + (self._stoch, self._classes))
-      if self._unimix:
-        probs = jax.nn.softmax(f32(logit), -1)
-        uniform = jnp.ones_like(probs) / probs.shape[-1]
-        probs = (1 - self._unimix) * probs + self._unimix * uniform
-        logit = jnp.log(probs).astype(x.dtype)
+      logit = self._unimix_logit(logit)
       return {'logit': logit}
     else:
       x = self.sub(name, Linear, 2 * self._stoch)(x)

@@ -30,10 +30,12 @@ PAIRS = {
     'daydreamer_tpu/run/train.py': 'embodied/run/train.py',
     'daydreamer_tpu/envs/atari.py': 'embodied/envs/atari.py',
     'daydreamer_tpu/run/learning.py': 'embodied/run/learning.py',
-    'daydreamer_tpu/run/learning.py': 'embodied/run/learning.py',
     'daydreamer_tpu/core/path.py': 'embodied/core/path.py',
     'daydreamer_tpu/core/timer.py': 'embodied/core/timer.py',
     'daydreamer_tpu/envs/__init__.py': 'embodied/envs/__init__.py',
+    'daydreamer_tpu/core/logger.py': 'embodied/core/logger.py',
+    'daydreamer_tpu/core/space.py': 'embodied/core/space.py',
+    'daydreamer_tpu/envs/gym.py': 'embodied/envs/gym.py',
 }
 
 

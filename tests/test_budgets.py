@@ -38,27 +38,61 @@ BUDGETS = {
 }
 
 
-# Quiet-box wall time of the contention probe in _contention_factor
-# (50 f32 512x512 matmuls, warm): ~0.05s on this box.
-_PROBE_QUIET_S = 0.055
+# Quiet wall time of the contention probe on the CALIBRATION box (the box
+# the BUDGETS dict above was measured on). Other hosts self-calibrate: the
+# minimum probe time ever observed on a host is persisted per-hostname and
+# used as that host's quiet baseline, and the absolute budgets scale by
+# (host_quiet / _PROBE_CALIB_S) — so a 2x-slower machine gets 2x budgets
+# instead of permanently skipping every absolute gate.
+_PROBE_CALIB_S = 0.055
 
 
-def _contention_factor():
-  """How much slower a fixed CPU workload runs right now vs a quiet box.
-
-  Run immediately before timing the entry points: pytest executes tests
-  sequentially, so anything competing with the probe is an EXTERNAL
-  process. When the box is contended the absolute wall-clock budgets are
-  meaningless and the tests skip VISIBLY (not silently absorbed by a
-  larger slack, which would also absorb real regressions); the
-  load-insensitive ratio gates below still apply."""
+def _probe_seconds():
   x = np.random.rand(512, 512).astype(np.float32)
   for _ in range(5):
     x @ x  # Warm the BLAS threads.
   start = time.time()
   for _ in range(50):
     x @ x
-  return (time.time() - start) / _PROBE_QUIET_S
+  return time.time() - start
+
+
+def _host_quiet_probe(measured):
+  """Persisted per-host quiet baseline: min probe time ever seen here."""
+  import json
+  import pathlib
+  import socket
+  path = pathlib.Path.home() / '.cache' / 'daydreamer_tpu' / 'budget_probe.json'
+  host = socket.gethostname()
+  try:
+    table = json.loads(path.read_text())
+  except (OSError, ValueError):
+    table = {}
+  quiet = min(measured, table.get(host, measured))
+  if table.get(host) != quiet:
+    table[host] = quiet
+    try:
+      path.parent.mkdir(parents=True, exist_ok=True)
+      path.write_text(json.dumps(table))
+    except OSError:
+      pass  # Read-only home: fall back to in-process calibration.
+  return quiet
+
+
+def _contention_factor():
+  """How much slower a fixed CPU workload runs right now vs this host when
+  quiet.
+
+  Run immediately before timing the entry points: pytest executes tests
+  sequentially, so anything competing with the probe is an EXTERNAL
+  process. When the box is contended the absolute wall-clock budgets are
+  meaningless and the tests skip VISIBLY (not silently absorbed by a
+  larger slack, which would also absorb real regressions); the
+  load-insensitive ratio gates below still apply. Returns
+  (contention, budget_scale)."""
+  measured = _probe_seconds()
+  quiet = _host_quiet_probe(measured)
+  return measured / quiet, quiet / _PROBE_CALIB_S
 
 
 def _test_config(**overrides):
@@ -143,9 +177,13 @@ def timings():
   # contention probe before AND after the timed section and gate on the
   # worst, so a quiet instant at fixture start cannot launder a loaded
   # timing window into a failure.
-  before = _contention_factor()
+  before, scale_before = _contention_factor()
   out = _time_entry_points(_test_config())
-  out['contention'] = max(before, _contention_factor())
+  after, scale_after = _contention_factor()
+  out['contention'] = max(before, after)
+  # A later, smaller quiet baseline means the earlier factor was computed
+  # against a stale (too large) baseline; use the final scale.
+  out['budget_scale'] = min(scale_before, scale_after)
   return out
 
 
@@ -156,7 +194,7 @@ def test_budget(timings, name):
         f'box contended ({timings["contention"]:.1f}x probe slowdown); '
         'absolute budgets gated on quiet boxes only')
   measured = timings[name]
-  budget = BUDGETS[name] * SLACK
+  budget = BUDGETS[name] * SLACK * timings['budget_scale']
   print(f'{name}: {measured:.4f}s (budget {budget:.3f}s)')
   assert measured < budget, (name, measured, budget)
 

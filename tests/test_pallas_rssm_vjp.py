@@ -118,6 +118,49 @@ def test_fused_gradients_match_scan(setup):
         err_msg=f'grad leaf {name}')
 
 
+def test_fused_impl_logits_are_unimix_logprobs():
+  """RSSM.observe with impl=pallas must package the SAME distribution as
+  the scan path: unimix log-probs, not the kernel's raw stats logits
+  (regression for a silent KL-objective change in xarm/ur5/sphero
+  configs, which combine unimix 0.01 with impl: pallas)."""
+  from daydreamer_tpu import nn
+  from daydreamer_tpu.models.nets import RSSM
+
+  unimix = 0.01
+  kw = dict(deter=32, stoch=4, classes=8, unimix=unimix, units=32,
+            act='elu', norm='layer')
+  rng = np.random.default_rng(0)
+  Bn, Tn, An, En = 3, 4, 5, 16
+  embed = jnp.asarray(rng.normal(size=(Bn, Tn, En)), jnp.float32)
+  action = jnp.asarray(rng.normal(size=(Bn, Tn, An)), jnp.float32)
+  is_first = jnp.zeros((Bn, Tn), bool).at[:, 0].set(True)
+
+  def run(impl, state, create):
+    model = RSSM('rssm', impl=impl, **kw)
+    fn = nn.pure(lambda: model.observe(embed, action, is_first))
+    (post, prior), state = fn(state, 0, create=create)
+    return post, prior, state
+
+  _, _, state = run('scan', {}, True)
+  post_s, prior_s, _ = run('scan', state, False)
+  post_p, prior_p, _ = run('pallas', state, False)
+
+  floor = unimix / kw['classes']
+  for name, st in (('post', post_p), ('prior', prior_p)):
+    probs = np.exp(np.asarray(st['logit'], np.float32))
+    np.testing.assert_allclose(
+        probs.sum(-1), 1.0, atol=1e-3, err_msg=f'{name} not log-probs')
+    assert probs.min() >= floor * 0.98, (name, probs.min(), floor)
+
+  # Step 0 resets state on is_first, so both impls see identical inputs
+  # there regardless of their different posterior-sampling RNG streams.
+  for name, a, b in (('post', post_s, post_p), ('prior', prior_s, prior_p)):
+    np.testing.assert_allclose(
+        np.asarray(a['logit'][:, 0], np.float32),
+        np.asarray(b['logit'][:, 0], np.float32),
+        rtol=1e-3, atol=1e-3, err_msg=f'{name} step-0 logit mismatch')
+
+
 def _tiny_agent(impl):
   import daydreamer_tpu as ddt
   from daydreamer_tpu.agents.dreamer import Agent
