@@ -321,7 +321,7 @@ class ImagActorCritic(nn.Module):
   """Actor trained in imagination against one or more critics
   (reference: agent.py:285-381)."""
 
-  def __init__(self, name, critics, scales, act_space, config):
+  def __init__(self, name, critics, scales, act_space, config, wm=None):
     super().__init__(name)
     for key, scale in scales.items():
       assert not scale or key in critics, key
@@ -329,6 +329,7 @@ class ImagActorCritic(nn.Module):
     self.scales = scales
     self.act_space = act_space
     self.config = config
+    self.wm = wm  # Enables the fused rollout (imag_impl: pallas).
     self.actor = self.sub(
         'actor', nets.MLP, act_space.shape, **config.actor,
         dist=(config.actor_dist_disc if act_space.discrete
@@ -361,8 +362,13 @@ class ImagActorCritic(nn.Module):
         {'action': self.actor(jax.tree.map(sg, latent))}, carry)
     if self.grad == 'reinforce':
       # Discrete: gradients do not flow through the dynamics, so one
-      # no-grad rollout serves both critic and actor updates.
-      traj, _ = imagine(policy, start, {}, self.config.imag_horizon)
+      # no-grad rollout serves both critic and actor updates — which is
+      # why the rollout can run as a forward-only fused Pallas program
+      # (actor MLP + sampling folded into the imagination chain).
+      if self._fused_imagine_ok():
+        traj = self._imagine_fused(start, self.config.imag_horizon)
+      else:
+        traj, _ = imagine(policy, start, {}, self.config.imag_horizon)
       traj = jax.tree.map(sg, traj)
       for key, critic in self.critics.items():
         mets = critic.train(traj, self.actor)
@@ -386,6 +392,88 @@ class ImagActorCritic(nn.Module):
     else:
       raise NotImplementedError(self.grad)
     return traj, metrics
+
+  def _fused_imagine_ok(self):
+    """The fused policy-in-the-loop rollout covers the standard Greedy
+    setup: discrete flat actions, the default elu/layer-norm actor MLP
+    over [deter, stoch], and a fused-compatible RSSM. Everything else
+    (continuous/backprop, Explore's multi-actor setups, 2D actions)
+    keeps the scan."""
+    if 'imag_impl' not in self.config or self.config.imag_impl != 'pallas':
+      return False
+    if nn.creating():
+      return False
+    if self.wm is None or not self.act_space.discrete:
+      return False
+    if len(self.act_space.shape) != 1:
+      return False
+    actor = self.config.actor
+    return (self.wm.rssm.fused_compatible
+            and list(actor.inputs) == ['deter', 'stoch']
+            and actor.act == 'elu' and actor.norm == 'layer'
+            and self.config.actor_dist_disc == 'onehot')
+
+  def _actor_fused_params(self):
+    """Actor MLP weights for the fused rollout kernel, sliced from the
+    SAME named state entries nets.MLP creates (optimizer parity; the
+    concat [deter, stoch] input becomes a split matmul)."""
+    ctx = nn.context().state
+    get = lambda k: nn.cast_to_compute(ctx[f'{self.actor.path}/{k}'])
+    layers = self.config.actor.layers
+    D = self.wm.rssm._deter
+    k0 = get('dense0/kernel')
+    return {
+        'w_d': k0[:D], 'w_s': k0[D:],
+        'w_h': [get(f'dense{i}/kernel') for i in range(1, layers)],
+        'ln_scale': [get(f'dense{i}/norm/scale') for i in range(layers)],
+        'ln_bias': [get(f'dense{i}/norm/bias') for i in range(layers)],
+        'w_out': get('dist_out/out/kernel'),
+        'b_out': get('dist_out/out/bias'),
+    }
+
+  def _imagine_fused(self, start, horizon):
+    """Forward-only fused rollout replacing wm.imagine + per-step actor
+    (ops/pallas_rssm.imagine_actor_pallas): same trajectory layout and
+    distributions as WorldModel.imagine with this actor policy, on a
+    different RNG stream (like the fused observe path)."""
+    from ...ops import pallas_rssm as pr
+    wm = self.wm
+    rssm = wm.rssm
+    first_cont = 1.0 - f32(start['is_terminal'])
+    keys = list(rssm.initial(1).keys())
+    sstart = {k: v for k, v in start.items() if k in keys}
+    action0 = self.actor(jax.tree.map(sg, sstart)).sample(nn.rng())
+    B, A = action0.shape
+    SC = rssm._stoch * rssm._classes
+    stoch0 = nn.cast_to_compute(sstart['stoch']).reshape(B, SC)
+    deter0 = nn.cast_to_compute(sstart['deter'])
+    seed = jax.random.randint(nn.rng(), (), 0, np.int32(2**31 - 1))
+    deters, logits, stochs, actions = pr.imagine_actor_pallas(
+        rssm.fused_img_params(), self._actor_fused_params(),
+        stoch0, deter0, nn.cast_to_compute(sg(action0)), horizon, seed,
+        unimix=rssm._unimix, act_unimix=float(self.config.actor.unimix),
+        sample=True,
+        interpret=jax.devices()[0].platform not in ('tpu', 'axon'))
+    shape = lambda x: x.reshape(
+        x.shape[:2] + (rssm._stoch, rssm._classes))
+    dtype = stoch0.dtype
+    # The kernel returns RAW prior logits; store unimix log-probs like
+    # the scan path (see RSSM._stats_layer / _observe_fused).
+    logit = rssm._unimix_logit(shape(logits)).astype(dtype)
+    states = {
+        'deter': deters.astype(dtype),
+        'stoch': shape(stochs).astype(dtype),
+        'logit': logit}
+    states = {
+        k: jnp.concatenate([sstart[k][None].astype(v.dtype), v], 0)
+        for k, v in states.items()}
+    actions_seq = jnp.concatenate(
+        [action0[None], f32(actions)], 0)
+    states['cont'] = jnp.concatenate([
+        first_cont[None], wm.heads['cont'](states).mean()[1:]], 0)
+    states['weight'] = jnp.cumprod(
+        self.config.discount * states['cont'], 0) / self.config.discount
+    return {**states, 'action': actions_seq}
 
   def _loss(self, traj):
     metrics = {}

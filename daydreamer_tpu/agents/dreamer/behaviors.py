@@ -33,7 +33,7 @@ class Greedy(nn.Module):
       raise NotImplementedError(config.critic_type)
     self.ac = self.sub(
         'ac', agentlib.ImagActorCritic, critics, {'extr': 1.0}, act_space,
-        config)
+        config, wm=wm)
 
   def initial(self, batch_size):
     return self.ac.initial(batch_size)
@@ -115,7 +115,7 @@ class KnownReward(nn.Module):
         'ac', agentlib.ImagActorCritic,
         {'manual': self.sub('critic', agentlib.VFunction, self.rewfn,
                             config)},
-        {'manual': 1.0}, act_space, config)
+        {'manual': 1.0}, act_space, config, wm=wm)
 
   def rewfn(self, s):
     if self.config.known_reward == 'none':
@@ -153,13 +153,13 @@ class DisagWhen(nn.Module):
         'achiever', agentlib.ImagActorCritic,
         {'extr': self.sub('critic_extr', agentlib.VFunction, rewfn,
                           config)},
-        {'extr': 1.0}, act_space, config)
+        {'extr': 1.0}, act_space, config, wm=wm)
     self.disag = self.sub('disag', expl.Disag, wm, act_space, config)
     self.explorer = self.sub(
         'explorer', agentlib.ImagActorCritic,
         {'expl': self.sub('critic_expl', agentlib.VFunction, self.disag,
                           config)},
-        {'expl': 1.0}, act_space, config)
+        {'expl': 1.0}, act_space, config, wm=wm)
     self.capacity = int(config.expl_when_buffer)
 
   def initial(self, batch_size):
@@ -280,7 +280,8 @@ class Explore(nn.Module):
         self.rewards[key] = reward
     scales = {k: v for k, v in config.expl_rewards.items() if v}
     self.ac = self.sub(
-        'ac', agentlib.ImagActorCritic, critics, scales, act_space, config)
+        'ac', agentlib.ImagActorCritic, critics, scales, act_space, config,
+        wm=wm)
 
   def initial(self, batch_size):
     return self.ac.initial(batch_size)

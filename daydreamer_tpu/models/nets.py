@@ -100,6 +100,44 @@ class RSSM(Module):
     prior = {k: swap(v) for k, v in prior.items()}
     return post, prior
 
+  @property
+  def fused_compatible(self):
+    """Whether the fused Pallas kernels can express this RSSM: discrete
+    latents with power-of-two classes and single post/GRU layers."""
+    return bool(
+        self._classes and (self._classes & (self._classes - 1)) == 0
+        and self._post_layers == 1 and self._gru_layers == 1)
+
+  def fused_img_params(self):
+    """img_step cell weights for the fused Pallas kernels, sliced from
+    the SAME named state entries the scan path creates (checkpoint and
+    optimizer parity); concat kernels split into their two operands
+    (concat(a,b) @ W == a @ W[:n] + b @ W[n:])."""
+    assert self.fused_compatible, (
+        self._classes, self._post_layers, self._gru_layers)
+    ctx = nn.context().state
+    get = lambda k: cast(ctx[f'{self.path}/{k}'])
+    SC = self._stoch * self._classes
+    D = self._deter
+    w_img_in = get('img_in/kernel')
+    w_gru = get('gru_out/kernel')
+    return {
+        'w_in_s': w_img_in[:SC], 'w_in_a': w_img_in[SC:],
+        'ln_in_scale': get('img_in/norm/scale'),
+        'ln_in_bias': get('img_in/norm/bias'),
+        'w_gru_d': w_gru[:D], 'w_gru_x': w_gru[D:],
+        'ln_gru_scale': get('gru_out/norm/scale'),
+        'ln_gru_bias': get('gru_out/norm/bias'),
+        'w_out': [get(f'img_out_{i}/kernel')
+                  for i in range(self._prior_layers)],
+        'ln_out_scale': [get(f'img_out_{i}/norm/scale')
+                         for i in range(self._prior_layers)],
+        'ln_out_bias': [get(f'img_out_{i}/norm/bias')
+                        for i in range(self._prior_layers)],
+        'w_st': get('img_stats/kernel'), 'b_st': get('img_stats/bias'),
+        'stoch_n': self._stoch, 'classes': self._classes,
+    }
+
   def _observe_fused(self, embed, action, is_first, state):
     """Whole-chunk posterior chain as one Pallas program with a custom
     VJP (ops/pallas_rssm_vjp.py; measured 1.8x vs the best scan unroll,
@@ -114,36 +152,18 @@ class RSSM(Module):
     and the prior's unused stoch sample is its mode.
     """
     from ..ops import pallas_rssm_vjp as prv
-    assert self._classes, 'fused path requires discrete latents'
-    assert self._post_layers == 1 and self._gru_layers == 1, (
-        self._post_layers, self._gru_layers)
     swap = lambda x: jnp.swapaxes(x, 0, 1)
     ctx = nn.context().state
     get = lambda k: cast(ctx[f'{self.path}/{k}'])
     SC = self._stoch * self._classes
     D = self._deter
-    w_img_in = get('img_in/kernel')
-    w_gru = get('gru_out/kernel')
     w_obs = get('obs_out/kernel')
     params = {
-        'w_in_s': w_img_in[:SC], 'w_in_a': w_img_in[SC:],
-        'ln_in_scale': get('img_in/norm/scale'),
-        'ln_in_bias': get('img_in/norm/bias'),
-        'w_gru_d': w_gru[:D], 'w_gru_x': w_gru[D:],
-        'ln_gru_scale': get('gru_out/norm/scale'),
-        'ln_gru_bias': get('gru_out/norm/bias'),
-        'w_out': [get(f'img_out_{i}/kernel')
-                  for i in range(self._prior_layers)],
-        'ln_out_scale': [get(f'img_out_{i}/norm/scale')
-                         for i in range(self._prior_layers)],
-        'ln_out_bias': [get(f'img_out_{i}/norm/bias')
-                        for i in range(self._prior_layers)],
-        'w_st': get('img_stats/kernel'), 'b_st': get('img_stats/bias'),
+        **self.fused_img_params(),
         'w_obs_d': w_obs[:D], 'w_obs_e': w_obs[D:],
         'ln_obs_scale': get('obs_out/norm/scale'),
         'ln_obs_bias': get('obs_out/norm/bias'),
         'w_post': get('obs_stats/kernel'), 'b_post': get('obs_stats/bias'),
-        'stoch_n': self._stoch, 'classes': self._classes,
     }
     B = action.shape[0]
     stoch0 = cast(state['stoch']).reshape(B, SC)

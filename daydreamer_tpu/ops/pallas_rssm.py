@@ -297,7 +297,8 @@ def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
                   params['w_gru_x'], params['w_st'], *params['w_out']))
     block_rows = _auto_block_rows(B, D, U, SC, A, weights_bytes)
   blk = min(block_rows, B)
-  assert B % blk == 0, (B, blk)
+  while B % blk:
+    blk -= 1  # Largest divisor of B within the VMEM budget.
   nb = B // blk
 
   row = lambda v: v.reshape(1, -1)
@@ -353,6 +354,281 @@ def imagine_pallas(params, stoch0, deter0, actions, seed, unimix=0.01,
       interpret=interpret,
   )(jnp.asarray([seed], jnp.int32), actions, *weights, stoch0, deter0)
   return deters, logits, stochs
+
+
+# ---------------------------------------------------------------------------
+# Policy-in-the-loop imagination: img_step + actor MLP + action sampling
+# fused over the horizon (the training-path rollout of
+# ImagActorCritic.train, reference: agent.py:234-261 + 295-300). The
+# reinforce path stop-gradients the whole trajectory, so this chain is
+# forward-only by construction — no VJP needed.
+# ---------------------------------------------------------------------------
+
+
+def _actor_cell(stoch, deter, actor):
+  """Actor MLP on one latent state: returns raw action logits [B, A] f32.
+
+  Mirrors nets.MLP(inputs=[deter, stoch]) + DistLayer('onehot'): the
+  concat input is realized as a split matmul, hidden layers are
+  Linear+LayerNorm+ELU (no bias under norm), the head is a plain
+  biased Linear."""
+  x = (jnp.dot(deter, actor['w_d'], preferred_element_type=f32)
+       + jnp.dot(stoch, actor['w_s'], preferred_element_type=f32))
+  x = _elu(_layernorm(
+      x.astype(stoch.dtype), actor['ln_scale'][0], actor['ln_bias'][0]))
+  for i, w in enumerate(actor['w_h']):
+    x = _linear_ln_elu(
+        x, w, actor['ln_scale'][i + 1], actor['ln_bias'][i + 1])
+  logits = jnp.dot(x, actor['w_out'], preferred_element_type=f32)
+  return logits + actor['b_out'].astype(f32)
+
+
+def imagine_actor_scan(params, actor, stoch0, deter0, action0, horizon,
+                       seed, unimix=0.01, act_unimix=0.01, sample=True,
+                       unroll=1):
+  """H-step policy-in-the-loop rollout via lax.scan (the XLA baseline).
+
+  Step t consumes (state_t, action_t) and emits (state_{t+1},
+  action_{t+1} = sample(actor(state_{t+1}))). Returns deters [H,B,D],
+  prior logits [H,B,S*C] f32, stochs [H,B,S*C], actions [H,B,A]."""
+  stoch_n, classes = params['stoch_n'], params['classes']
+
+  def step(carry, _):
+    stoch, deter, action, key = carry
+    deter, logit = _img_cell(stoch, deter, action, params, unimix)
+    logp = _unimix_logits(logit, stoch_n, classes, unimix)
+    key, k1, k2 = jax.random.split(key, 3)
+    if sample:
+      g = jax.random.gumbel(k1, logp.shape, f32)
+      onehot = _onehot_from_scores(logp + g)
+    else:
+      onehot = _onehot_from_scores(logp)
+    stoch = onehot.reshape(onehot.shape[0], -1).astype(stoch.dtype)
+    alogit = _actor_cell(stoch, deter, actor)
+    if act_unimix:
+      probs = jax.nn.softmax(alogit, -1)
+      alogit = jnp.log((1 - act_unimix) * probs
+                       + act_unimix / alogit.shape[-1])
+    if sample:
+      g = jax.random.gumbel(k2, alogit.shape, f32)
+      action = _onehot_from_scores(alogit + g)
+    else:
+      action = _onehot_from_scores(alogit)
+    action = action.astype(action0.dtype)
+    return (stoch, deter, action, key), (deter, logit, stoch, action)
+
+  key = jax.random.PRNGKey(seed)
+  _, (deters, logits, stochs, actions) = jax.lax.scan(
+      step, (stoch0, deter0, action0, key), jnp.arange(horizon),
+      unroll=unroll)
+  return deters, logits, stochs, actions
+
+
+def _imagine_actor_kernel(unimix, act_unimix, stoch_n, classes, n_out,
+                          n_act, sample, interpret, seed_ref, *refs):
+  if interpret and sample:
+    # Interpreter mode (CPU tests) has no pltpu PRNG lowering: gumbel
+    # noise arrives as inputs, generated with jax.random in the wrapper.
+    # On TPU the kernel draws from the per-core PRNG instead, avoiding
+    # H*B*S*C of HBM noise traffic per rollout.
+    g_s_ref, g_a_ref = refs[:2]
+    refs = refs[2:]
+  (w_in_s, w_in_a, ln_in_s, ln_in_b, w_gru_d, w_gru_x, ln_gru_s,
+   ln_gru_b) = refs[:8]
+  refs = refs[8:]
+  outw, refs = refs[:n_out], refs[n_out:]
+  outs, refs = refs[:n_out], refs[n_out:]
+  outb, refs = refs[:n_out], refs[n_out:]
+  w_st, b_st, a_w_d, a_w_s = refs[:4]
+  refs = refs[4:]
+  a_wh, refs = refs[:n_act - 1], refs[n_act - 1:]
+  a_lns, refs = refs[:n_act], refs[n_act:]
+  a_lnb, refs = refs[:n_act], refs[n_act:]
+  (a_w_out, a_b_out, stoch0_ref, deter0_ref, action0_ref,
+   deter_out, logit_out, stoch_out, action_out,
+   stoch_c, deter_c, act_c) = refs
+
+  t = pl.program_id(0)
+  b = pl.program_id(1)
+  if sample and not interpret:
+    pltpu.prng_seed(seed_ref[0] + t * pl.num_programs(1) + b)
+  blk = stoch_out.shape[1]
+  rows = pl.ds(b * blk, blk)
+
+  @pl.when(t == 0)
+  def _():
+    stoch_c[rows] = stoch0_ref[rows]
+    deter_c[rows] = deter0_ref[rows]
+    act_c[rows] = action0_ref[rows]
+
+  params = {
+      'w_in_s': w_in_s[:], 'w_in_a': w_in_a[:],
+      'ln_in_scale': ln_in_s[0, :], 'ln_in_bias': ln_in_b[0, :],
+      'w_gru_d': w_gru_d[:], 'w_gru_x': w_gru_x[:],
+      'ln_gru_scale': ln_gru_s[0, :], 'ln_gru_bias': ln_gru_b[0, :],
+      'w_out': [w[:] for w in outw],
+      'ln_out_scale': [s[0, :] for s in outs],
+      'ln_out_bias': [b_[0, :] for b_ in outb],
+      'w_st': w_st[:], 'b_st': b_st[0, :],
+  }
+  actor = {
+      'w_d': a_w_d[:], 'w_s': a_w_s[:],
+      'w_h': [w[:] for w in a_wh],
+      'ln_scale': [s[0, :] for s in a_lns],
+      'ln_bias': [b_[0, :] for b_ in a_lnb],
+      'w_out': a_w_out[:], 'b_out': a_b_out[0, :],
+  }
+  stoch, deter, action = stoch_c[rows], deter_c[rows], act_c[rows]
+  deter, logit = _img_cell(stoch, deter, action, params, unimix)
+  roll = ((lambda a, k: jnp.roll(a, k, axis=-1)) if interpret else
+          (lambda a, k: pltpu.roll(a, shift=k, axis=len(a.shape) - 1)))
+  if interpret and sample:
+    # Plain-jax sampling on the unimix log-probs with input gumbels.
+    probs = jax.nn.softmax(
+        logit.reshape(logit.shape[0], stoch_n, classes), -1)
+    if unimix:
+      probs = (1 - unimix) * probs + unimix / classes
+    scores = jnp.log(probs).reshape(logit.shape) + g_s_ref[0]
+    onehot = (scores >= _seg_max(scores, classes, roll)).astype(logit.dtype)
+  else:
+    onehot = _kernel_sample_onehot(logit, classes, unimix, sample, roll)
+  stoch = onehot.astype(stoch_c.dtype)
+
+  alogit = _actor_cell(stoch, deter, actor)
+  if act_unimix:
+    probs = jax.nn.softmax(alogit, -1)
+    alogit = jnp.log((1 - act_unimix) * probs
+                     + act_unimix / alogit.shape[-1])
+
+  # alogit already holds the unimix-mixed log-probs, so gumbel-max over
+  # it realizes the mixture exactly — no resampling branch needed.
+  if interpret and sample:
+    action = _onehot_from_scores(alogit + g_a_ref[0])
+  elif sample:
+    # [0, 1) from 23 random mantissa bits (Mosaic has no uint32->f32).
+    bits = pltpu.bitcast(pltpu.prng_random_bits(alogit.shape), jnp.uint32)
+    mant = (bits >> 9) | jnp.uint32(0x3F800000)
+    u = pltpu.bitcast(mant, f32) - 1.0
+    action = _onehot_from_scores(alogit - jnp.log(-jnp.log(u)))
+  else:
+    action = _onehot_from_scores(alogit)
+  action = action.astype(act_c.dtype)
+
+  deter_out[0] = deter
+  logit_out[0] = logit.reshape(logit.shape[0], -1).astype(jnp.float32)
+  stoch_out[0] = stoch
+  action_out[0] = action
+  stoch_c[rows] = stoch
+  deter_c[rows] = deter
+  act_c[rows] = action
+
+
+def imagine_actor_pallas(params, actor, stoch0, deter0, action0, horizon,
+                         seed, unimix=0.01, act_unimix=0.01, sample=True,
+                         interpret=False, block_rows=None):
+  """H-step policy-in-the-loop rollout as ONE Pallas program.
+
+  Fuses the actor MLP and its categorical action sampling into the
+  imagination chain, so the rollout's weights (RSSM cell + actor) stay
+  VMEM-resident across the sequential horizon instead of re-streaming
+  from HBM every step.
+
+  actor: dict with w_d [D,U], w_s [S*C,U], w_h (list of [U,U]),
+  ln_scale/ln_bias (lists of [U], one per dense layer), w_out [U,A],
+  b_out [A]. Returns (deters [H,B,D], logits [H,B,S*C] f32,
+  stochs [H,B,S*C], actions [H,B,A])."""
+  B = stoch0.shape[0]
+  A = action0.shape[-1]
+  D = params['w_gru_d'].shape[0]
+  SC = params['w_st'].shape[1]
+  n_out = len(params['w_out'])
+  n_act = len(actor['ln_scale'])
+  assert len(actor['w_h']) == n_act - 1
+  dtype = stoch0.dtype
+  if block_rows is None:
+    U = params['w_in_s'].shape[1]
+    weights_bytes = sum(
+        int(np.prod(w.shape)) * w.dtype.itemsize
+        for w in (params['w_in_s'], params['w_in_a'], params['w_gru_d'],
+                  params['w_gru_x'], params['w_st'], *params['w_out'],
+                  actor['w_d'], actor['w_s'], *actor['w_h'],
+                  actor['w_out']))
+    block_rows = _auto_block_rows(B, D, U, SC, A, weights_bytes)
+  blk = min(block_rows, B)
+  while B % blk:
+    blk -= 1  # Largest divisor of B within the VMEM budget.
+  nb = B // blk
+
+  row = lambda v: v.reshape(1, -1)
+  weights = [
+      params['w_in_s'], params['w_in_a'],
+      row(params['ln_in_scale']), row(params['ln_in_bias']),
+      params['w_gru_d'], params['w_gru_x'],
+      row(params['ln_gru_scale']), row(params['ln_gru_bias']),
+      *params['w_out'],
+      *[row(s) for s in params['ln_out_scale']],
+      *[row(b) for b in params['ln_out_bias']],
+      params['w_st'], row(params['b_st']),
+      actor['w_d'], actor['w_s'],
+      *actor['w_h'],
+      *[row(s) for s in actor['ln_scale']],
+      *[row(b) for b in actor['ln_bias']],
+      actor['w_out'], row(actor['b_out']),
+  ]
+
+  const = lambda shape: pl.BlockSpec(
+      shape, lambda t, b, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+  stepped = lambda shape: pl.BlockSpec(
+      (1, blk) + shape, lambda t, b, *_: (t, b) + (0,) * len(shape),
+      memory_space=pltpu.VMEM)
+
+  noise = []
+  noise_specs = []
+  if interpret and sample:
+    # Interpreter mode (tests): gumbel noise as inputs; see the kernel.
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    noise = [jax.random.gumbel(k1, (horizon, B, SC), f32),
+             jax.random.gumbel(k2, (horizon, B, A), f32)]
+    noise_specs = [stepped((SC,)), stepped((A,))]
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(horizon, nb),
+      in_specs=[
+          *noise_specs,
+          *[const(w.shape) for w in weights],
+          const((B, SC)),
+          const((B, D)),
+          const((B, A)),
+      ],
+      out_specs=[
+          stepped((D,)),
+          stepped((SC,)),
+          stepped((SC,)),
+          stepped((A,)),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((B, SC), dtype),
+          pltpu.VMEM((B, D), dtype),
+          pltpu.VMEM((B, A), dtype),
+      ],
+  )
+  kernel = functools.partial(
+      _imagine_actor_kernel, unimix, act_unimix, params['stoch_n'],
+      params['classes'], n_out, n_act, sample, interpret)
+  deters, logits, stochs, actions = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=[
+          jax.ShapeDtypeStruct((horizon, B, D), dtype),
+          jax.ShapeDtypeStruct((horizon, B, SC), jnp.float32),
+          jax.ShapeDtypeStruct((horizon, B, SC), dtype),
+          jax.ShapeDtypeStruct((horizon, B, A), dtype),
+      ],
+      interpret=interpret,
+  )(jnp.asarray([seed], jnp.int32), *noise, *weights, stoch0, deter0,
+    action0.astype(dtype))
+  return deters, logits, stochs, actions
 
 
 # ---------------------------------------------------------------------------
@@ -534,6 +810,26 @@ def observe_pallas(params, stoch0, deter0, actions, embeds, is_first, seed,
 # ---------------------------------------------------------------------------
 # Parameter factory for tests / the proof harness.
 # ---------------------------------------------------------------------------
+
+
+def make_actor_params(key, deter, units, stoch, classes, action_dim,
+                      layers=4, dtype=jnp.float32):
+  """Random actor-MLP parameters in the production layout (nets.MLP with
+  inputs [deter, stoch] + DistLayer onehot)."""
+  SC = stoch * classes
+  keys = iter(jax.random.split(key, 4 + 2 * layers))
+  uni = lambda shape: jax.random.uniform(
+      next(keys), shape, f32,
+      -np.sqrt(3.0 / np.mean(shape)), np.sqrt(3.0 / np.mean(shape))
+  ).astype(dtype)
+  return {
+      'w_d': uni((deter, units)), 'w_s': uni((SC, units)),
+      'w_h': [uni((units, units)) for _ in range(layers - 1)],
+      'ln_scale': [jnp.ones((units,), f32) for _ in range(layers)],
+      'ln_bias': [jnp.zeros((units,), f32) for _ in range(layers)],
+      'w_out': uni((units, action_dim)),
+      'b_out': jnp.zeros((action_dim,), f32),
+  }
 
 
 def make_params(key, deter, units, stoch, classes, action_dim, embed_dim,

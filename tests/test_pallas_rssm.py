@@ -53,6 +53,41 @@ def test_observe_kernel_matches_scan(setup):
   assert (s1 == s2).all()
 
 
+def test_imagine_actor_kernel_matches_scan(setup):
+  """Policy-in-the-loop rollout: fused kernel must match the scan
+  reference cell-for-cell in deterministic mode (argmax latents and
+  argmax actions), including the actor MLP folded into the chain."""
+  params, stoch0, deter0, _, _, _ = setup
+  actor = pr.make_actor_params(jax.random.PRNGKey(7), D, U, S, C, A)
+  action0 = jax.nn.one_hot(jnp.zeros((B,), jnp.int32), A, dtype=jnp.float32)
+  d1, l1, s1, a1 = pr.imagine_actor_scan(
+      params, actor, stoch0, deter0, action0, H, 0, sample=False)
+  d2, l2, s2, a2 = pr.imagine_actor_pallas(
+      params, actor, stoch0, deter0, action0, H, 0, sample=False,
+      interpret=True)
+  assert jnp.abs(d1 - d2).max() < 1e-5
+  assert jnp.abs(l1 - l2).max() < 1e-4
+  assert (s1 == s2).all()
+  assert (a1 == a2).all()
+
+
+def test_imagine_actor_sampling_valid(setup):
+  """Sampled rollouts emit exact one-hot latents AND one-hot actions,
+  and the action marginals are non-degenerate (unimix floor explores)."""
+  params, stoch0, deter0, _, _, _ = setup
+  actor = pr.make_actor_params(jax.random.PRNGKey(7), D, U, S, C, A)
+  action0 = jax.nn.one_hot(jnp.zeros((B,), jnp.int32), A, dtype=jnp.float32)
+  H_long = 16
+  d, l, s, a = pr.imagine_actor_scan(
+      params, actor, stoch0, deter0, action0, H_long, 3, sample=True,
+      act_unimix=0.3)
+  assert (s.reshape(H_long, B, S, C).sum(-1) == 1).all()
+  assert (a.sum(-1) == 1).all()
+  # With a 0.3 uniform floor over H*B=128 draws, more than one action
+  # class must appear.
+  assert (a.reshape(-1, A).sum(0) > 0).sum() > 1
+
+
 def test_scan_unroll_invariance(setup):
   """unroll is a compile-time knob only: results must be identical."""
   params, stoch0, deter0, actions, _, _ = setup

@@ -161,7 +161,7 @@ def test_fused_impl_logits_are_unimix_logprobs():
         rtol=1e-3, atol=1e-3, err_msg=f'{name} step-0 logit mismatch')
 
 
-def _tiny_agent(impl):
+def _tiny_agent(impl, task='dummy_continuous', **overrides):
   import daydreamer_tpu as ddt
   from daydreamer_tpu.agents.dreamer import Agent
   from daydreamer_tpu.envs import load_env
@@ -175,8 +175,9 @@ def _tiny_agent(impl):
       'rssm.impl': impl,
       'encoder.cnn_keys': '$^', 'decoder.cnn_keys': '$^',
       r'.*\.wd$': 0.0,
+      **overrides,
   })
-  env = load_env('dummy_continuous', amount=1, parallel='none', length=10)
+  env = load_env(task, amount=1, parallel='none', length=10)
   agent = Agent(env.obs_space, env.act_space, ddt.Counter(), config)
   data = {}
   for key, space in env.obs_space.items():
@@ -188,6 +189,31 @@ def _tiny_agent(impl):
       0, 1, (4, 6)).astype(np.float32)
   env.close()
   return agent, data
+
+
+@pytest.mark.slow
+def test_fused_imagine_trains_end_to_end():
+  """imag_impl=pallas (policy-in-the-loop rollout fused with the actor
+  MLP): full reinforce train steps run with the SAME parameter set as the
+  scan rollout, finite decreasing loss, and actor/critic updates applied
+  (discrete task, interpret mode on CPU)."""
+  agent_p, data = _tiny_agent(
+      'scan', task='dummy_discrete', **{'imag_impl': 'pallas'})
+  agent_s, _ = _tiny_agent(
+      'scan', task='dummy_discrete', **{'imag_impl': 'scan'})
+  agent_p._create()
+  agent_s._create()
+  assert sorted(agent_p.varibs) == sorted(agent_s.varibs)
+
+  losses, actor_metrics = [], []
+  state = None
+  for _ in range(6):
+    outs, state, mets = agent_p.train(data, state)
+    losses.append(float(mets['model_loss_mean']))
+    actor_metrics.append(float(mets['actor_opt_loss']))
+  assert np.isfinite(losses).all(), losses
+  assert losses[-1] < losses[0], losses
+  assert np.isfinite(actor_metrics).all(), actor_metrics
 
 
 @pytest.mark.slow
