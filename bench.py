@@ -239,6 +239,63 @@ def cache_state():
   return cache, entries
 
 
+SWEEP_SHAPES = {
+    'a1': ('a1_dummy', {
+        'replay_chunk': 32,
+        'rssm.deter': 256, 'rssm.units': 256,
+        'encoder.cnn_keys': '$^', 'decoder.cnn_keys': '$^',
+        'encoder.mlp_keys': 'vector', 'decoder.mlp_keys': 'vector'},
+     (32, 256, 1024)),
+    'xarm': ('xarm_dummy', {
+        'replay_chunk': 32,
+        'rssm.deter': 512, 'rssm.units': 512,
+        'encoder.cnn_keys': 'image|depth', 'decoder.cnn_keys': 'image|depth',
+        'encoder.mlp_keys': 'cartesian|joint|gripper|grasped',
+        'decoder.mlp_keys': 'cartesian|joint|gripper|grasped',
+        'rssm.impl': 'pallas'},
+     (32, 64, 128, 256)),
+}
+
+
+def sweep(budget_s=45.0):
+  """Batch-scaling throughput: updates/s, replayed-steps/s and MFU vs
+  batch size at the production shapes.
+
+  The robot configs run the reference batch sizes (32) for curve parity;
+  this measures where the MXU actually saturates and names the
+  throughput-mode operating point (BASELINE.json north star: '1024
+  batched imagination rollouts'). K shrinks as batch grows to keep the
+  dispatch ~1-2s."""
+  out = {}
+  for name, (task, overrides, batches) in SWEEP_SHAPES.items():
+    rows = []
+    for batch in batches:
+      K = max(2, min(64, 16384 // batch if name == 'xarm'
+                     else 65536 // batch))
+      agent, data = build_agent(task, {**overrides, 'batch_size': batch})
+      try:
+        res, _ = measure_updates(
+            agent, data, K=K, sample_budget_s=budget_s, windows=20, calls=1)
+      except Exception as e:  # e.g. HBM OOM at the largest batches.
+        rows.append({'batch': batch, 'fused_K': K,
+                     'error': f'{type(e).__name__}: {e}'[:300]})
+        print(name, batch, 'FAILED:', type(e).__name__, flush=True)
+        continue
+      row = {
+          'batch': batch, 'fused_K': K,
+          'updates_per_s': res['updates_per_s'],
+          'replay_steps_per_s': round(
+              res['updates_per_s'] * batch
+              * int(agent.config.replay_chunk)),
+          'compile_time_s': res['compile_time_s'],
+          'mfu': res['mfu'],
+      }
+      rows.append(row)
+      print(name, json.dumps(row), flush=True)
+    out[name] = rows
+  return out
+
+
 def main(argv=None):
   import argparse
   parser = argparse.ArgumentParser()
@@ -248,8 +305,20 @@ def main(argv=None):
       help='measure one shape in isolation (same methodology as the '
            'full run: warmup materializes a metric, so timings are '
            'fetch-synchronized - see FUSED_DISPATCH_ANOMALY.json).')
+  parser.add_argument(
+      '--sweep', default='',
+      help='run the batch-scaling sweep instead and write the result '
+           'to this path (e.g. BENCH_SWEEP.json)')
   args = parser.parse_args(argv)
   cache_dir, cache_entries = cache_state()
+
+  if args.sweep:
+    result = sweep()
+    text = json.dumps(result, indent=1)
+    with open(args.sweep, 'w') as f:
+      f.write(text + '\n')
+    print(text)
+    return
 
   if args.shape != 'all':
     shape = {'test': ('dummy_discrete', {

@@ -97,7 +97,7 @@ def _sphero(task, spec):
 @suite('dmc')
 def _dmc(task, spec):
   from .dmc import DMC
-  return DMC(task, spec.repeat, spec.size, spec.camera)
+  return DMC(task, spec.repeat, spec.size, spec.camera, spec.render)
 
 
 @suite('atari')

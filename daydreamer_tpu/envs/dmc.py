@@ -17,7 +17,7 @@ class DMC(base.Env):
       quadruped=2,
   )
 
-  def __init__(self, env, repeat=1, size=(64, 64), camera=-1):
+  def __init__(self, env, repeat=1, size=(64, 64), camera=-1, render=True):
     os.environ['MUJOCO_GL'] = os.environ.get('MUJOCO_GL', 'egl')
     if isinstance(env, str):
       domain, task = env.split('_', 1)
@@ -40,11 +40,16 @@ class DMC(base.Env):
     self._env = wrappers.ActionRepeat(self._env, repeat)
     self._size = size
     self._camera = camera
+    # Proprio configs can skip the per-step camera render (software EGL
+    # costs ~25ms/frame on CPU-only hosts and the image is unused); the
+    # reference renders unconditionally, so render=True stays default.
+    self._render = render
 
   @functools.cached_property
   def obs_space(self):
     spaces = dict(self._env.obs_space)
-    spaces['image'] = spacelib.Space(np.uint8, self._size + (3,))
+    if self._render:
+      spaces['image'] = spacelib.Space(np.uint8, self._size + (3,))
     return spaces
 
   @functools.cached_property
@@ -56,7 +61,8 @@ class DMC(base.Env):
       if not space.discrete:
         assert np.isfinite(action[key]).all(), (key, action[key])
     obs = self._env.step(action)
-    obs['image'] = self.render()
+    if self._render:
+      obs['image'] = self.render()
     return obs
 
   def render(self):

@@ -99,10 +99,27 @@ class Conv2D(Module):
           lambda key: jax.random.uniform(
               key, shape, jnp.float32, -limit, limit))
       kernel = cast_to_compute(kernel)
-      x = jax.lax.conv_transpose(
-          x, kernel.transpose(0, 1, 3, 2),
-          (self._stride, self._stride), self._pad,
-          dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+      if x.shape[1] == x.shape[2] == 1 and self._pad == 'VALID':
+        # A transposed conv over a 1x1 input IS a dense layer: every
+        # output pixel (i, j) reads the single input pixel through its
+        # own k x k filter slice. The matmul form runs on the MXU with
+        # full lanes; the conv form is the single most expensive op of
+        # the image decoder at production shapes (the first stage maps
+        # the [deter+stoch] feature to k*k*depth through the largest
+        # filter in the model — PROFILE_XARM.json). Same parameters,
+        # same math: conv_transpose applies the spatially-flipped
+        # kernel (verified against lax.conv_transpose in
+        # tests/test_nn.py::test_convT_1x1_dense_path).
+        w = kernel[::-1, ::-1].transpose(3, 0, 1, 2)
+        w = w.reshape(x.shape[-1], -1)
+        y = x.reshape(x.shape[0], x.shape[-1]) @ w
+        x = y.reshape(
+            x.shape[0], self._kernel, self._kernel, self._depth)
+      else:
+        x = jax.lax.conv_transpose(
+            x, kernel.transpose(0, 1, 3, 2),
+            (self._stride, self._stride), self._pad,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     else:
       shape = (self._kernel, self._kernel, x.shape[-1], self._depth)
       limit = np.sqrt(3.0 / np.mean(shape[-2:]))

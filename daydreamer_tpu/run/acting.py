@@ -86,6 +86,7 @@ def acting(agent, env, replay, logger, actordir, args):
   weights = WeightSubscriber(agent, logdir, logger)
   should_sync = whenlib.Clock(args.sync_every)
   should_expl = whenlib.Until(args.expl_until)
+  should_log = whenlib.Every(args.log_every)
 
   print('Start collection loop.')
 
@@ -98,3 +99,8 @@ def acting(agent, env, replay, logger, actordir, args):
       actor_cp.save()
       weights.refresh()
     driver(policy, steps=100)
+    if should_log(step):
+      # Policy/env latency sections + steps/s: the actor-side numbers
+      # that tell whether the robot's control-rate budget holds.
+      logger.add(timer.stats(), prefix='timer')
+      logger.write(fps=True)

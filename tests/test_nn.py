@@ -293,3 +293,23 @@ class TestEncoders:
       sample, _ = nn.pure(
           lambda: mlp(jnp.zeros((3, 8))).sample(nn.rng()))(state, 0)
       assert sample.shape == (3, 4)
+
+
+def test_convT_1x1_dense_path():
+  """Conv2D(transp) on a 1x1 input takes the dense fast path; it must
+  produce EXACTLY what lax.conv_transpose computes with the same stored
+  kernel (the decoder's first stage depends on this equivalence)."""
+  import jax
+  from daydreamer_tpu.nn.layers import Conv2D
+  rng = np.random.default_rng(0)
+  x = jnp.asarray(rng.normal(size=(3, 1, 1, 24)), jnp.float32)
+  conv = Conv2D('convt', depth=7, kernel=5, stride=2, transp=True,
+                pad='valid')
+  y, state = nn.pure(lambda: conv(x))({}, 0, create=True)
+  kernel = state['convt/kernel']
+  ref = jax.lax.conv_transpose(
+      x, jnp.asarray(kernel).transpose(0, 1, 3, 2), (2, 2), 'VALID',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  ref = ref + state['convt/bias']
+  assert y.shape == ref.shape == (3, 5, 5, 7)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
