@@ -72,7 +72,7 @@ def main(argv=None):
 
     elif config.run == 'learning':
       env.close()
-      port = config.learner_addr.split(':')[-1]
+      port = parsed.learner_addr.split(':')[-1]
       replay = make_replay(config, logdir / 'episodes', server_port=port)
       eval_replay = make_replay(config, logdir / 'eval_episodes',
                                 is_eval=True)
@@ -80,7 +80,7 @@ def main(argv=None):
 
     elif config.run == 'acting':
       replay = make_replay(
-          config, logdir / 'episodes', remote_addr=config.learner_addr)
+          config, logdir / 'episodes', remote_addr=parsed.learner_addr)
       outdir = logdir / f'worker{parsed.worker}'
       embodied.run.acting(agent, env, replay, logger, outdir, args)
 

@@ -113,6 +113,8 @@ class TerminalOutput:
         text = text[:-1]
       return text[:-1] if text[-1] == '.' else text
     mantissa, _, exponent = f'{value:.1e}'.partition('e')
+    if not exponent:
+      return mantissa  # nan/inf have no exponent part.
     if mantissa.endswith('.0'):
       mantissa = mantissa[:-2]
     return f'{mantissa}e{int(exponent)}'

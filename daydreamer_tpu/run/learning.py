@@ -67,10 +67,15 @@ def learning(agent, train_replay, eval_replay, logger, args):
   if (fused > 1 and getattr(args, 'device_replay', True)
       and hasattr(train_replay, 'store')):
     from ..replay.device_replay import StoreMirror
+    from ..replay.prioritized import Prioritized
     capacity = int(getattr(args, 'device_replay_steps', 2e5))
     device_replay = agent.make_device_replay(capacity=capacity)
     mirror = StoreMirror(train_replay, device_replay)
-    if hasattr(train_replay, 'prioritize'):
+    # NOTE: every Replay has a (no-op) `prioritize` method, so the PER
+    # check must be by type — a hasattr check here once disabled the
+    # device path for ALL uniform replays (regression-tested in
+    # tests/test_run_modes.py).
+    if isinstance(train_replay, Prioritized):
       if device_replay.prioritized:
         print('Prioritized replay runs DEVICE-SIDE: the host PER table is '
               'bypassed; priorities live in a device ring updated inside '
@@ -79,6 +84,9 @@ def learning(agent, train_replay, eval_replay, logger, args):
         print('WARNING: host replay is prioritized but the device replay '
               'is not; falling back to host sampling.')
         mirror = None
+    if mirror is not None:
+      print('Device-resident replay engaged '
+            f'(capacity {device_replay.capacity} steps).')
   try:
     while step < args.steps:
       on_device = False

@@ -69,6 +69,10 @@ def main():
   parser.add_argument('--minutes', type=float, default=10.0)
   parser.add_argument('--out', default='ASYNC_SOAK.json')
   parser.add_argument('--logdir', default='')
+  parser.add_argument('--learner-platform', default='tpu',
+                      help="'cpu' smoke-tests the pair off-chip")
+  parser.add_argument('--small', action='store_true',
+                      help='shrink nets for wiring smoke tests')
   args = parser.parse_args()
 
   logdir = pathlib.Path(args.logdir or (ROOT / 'runs' / 'async_soak'))
@@ -88,8 +92,14 @@ def main():
       '--train.eval_every', '1e9',
       '--env.render', 'False',
   ]
+  if args.small:
+    common += [r'--.*\.units', '64', r'--.*\.layers', '2',
+               '--rssm.deter', '64', '--rssm.units', '64',
+               '--batch_size', '8', '--replay_chunk', '8',
+               '--imag_horizon', '3', '--jax.precision', 'float32']
   learner, llog = launch(
-      common + ['--task', 'a1_dummy', '--run', 'learning'],
+      common + ['--task', 'a1_dummy', '--run', 'learning',
+                '--jax.platform', args.learner_platform],
       logdir / 'learner.log')
   actor, alog = launch(
       common + ['--task', 'a1_sim', '--run', 'acting',

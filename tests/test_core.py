@@ -248,3 +248,19 @@ class TestPrefetch:
     loader.close()
     assert all(not t.is_alive() for t in workers)
     assert not loader._threads  # close() clears after joining.
+
+
+def test_terminal_format_value():
+  """Compact number formatting incl. the nan/inf path (a learner crashed
+  on formatting a NaN metric when the exponent branch assumed a finite
+  value)."""
+  fmt = ddt.TerminalOutput()._format_value
+  assert fmt(0) == '0'
+  assert fmt(1.5) == '1.5'
+  assert fmt(2.0) == '2'
+  assert fmt(1234.567) == '1234.57'
+  assert fmt(1.5e-5) == '1.5e-5'
+  assert fmt(2e8) == '2e8'
+  assert fmt(float('nan')) == 'nan'
+  assert fmt(float('inf')) == 'inf'
+  assert fmt(float('-inf')) == '-inf'

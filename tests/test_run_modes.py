@@ -139,7 +139,49 @@ def test_learning_device_replay(tmp_path):
       steps=4, train_fill=20, sync_every=300, log_every=300,
       eval_every=300, eval_samples=1, train_fused=2,
       device_replay=True, device_replay_steps=200)
-  runlib.learning(agent, fixed, eval_replay, logger, args)
+  import io
+  import contextlib
+  out = io.StringIO()
+  with contextlib.redirect_stdout(out):
+    runlib.learning(agent, fixed, eval_replay, logger, args)
+  # The device path must ENGAGE for uniform replays (regression: the
+  # universal no-op Replay.prioritize once tripped a hasattr PER check
+  # and silently fell back to host sampling for every uniform config).
+  assert 'Device-resident replay engaged' in out.getvalue()
+  assert 'falling back to host sampling' not in out.getvalue()
   assert int(step) >= 4
   assert (tmp_path / 'agent.pkl').exists()
   env.close()
+
+
+def test_cli_async_dispatch_parses_learner_addr(tmp_path, monkeypatch):
+  """The learning/acting CLI branches read --learner_addr from the OUTER
+  flag parser (it is not a config key); regression for an AttributeError
+  that broke both async entry points when launched via the CLI."""
+  from daydreamer_tpu.agents.dreamer import train as train_cli
+
+  calls = {}
+  monkeypatch.setattr(
+      ddt.run, 'learning',
+      lambda agent, replay, eval_replay, logger, args: calls.setdefault(
+          'learning', replay))
+  monkeypatch.setattr(
+      ddt.run, 'acting',
+      lambda agent, env, replay, logger, outdir, args: calls.setdefault(
+          'acting', replay))
+  common = [
+      '--configs', 'debug', '--task', 'dummy_discrete',
+      '--jax.platform', 'cpu', '--env.parallel', 'none',
+  ]
+  import socket
+  with socket.socket() as s:
+    s.bind(('', 0))
+    port = s.getsockname()[1]
+  train_cli.main(common + [
+      '--run', 'learning', '--logdir', str(tmp_path / 'learn'),
+      '--learner_addr', f'localhost:{port}'])
+  assert 'learning' in calls
+  train_cli.main(common + [
+      '--run', 'acting', '--logdir', str(tmp_path / 'act'),
+      '--learner_addr', f'localhost:{port}'])
+  assert 'acting' in calls
