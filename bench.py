@@ -52,6 +52,44 @@ PEAK_BF16 = {
     'TPU v6 lite': 918e12,  # Trillium
 }
 
+# Peak HBM bandwidth per chip (bytes/s).
+PEAK_HBM = {
+    'TPU v4': 1228e9,
+    'TPU v5 lite': 819e9,   # v5e
+    'TPU v5': 2765e9,       # v5p
+    'TPU v5p': 2765e9,
+    'TPU v6 lite': 1640e9,  # Trillium
+}
+
+
+def plain_train_cost(agent, data):
+  """XLA cost analysis of ONE gradient update, from the plain (non-fused)
+  train program — the unambiguous per-update figure.
+
+  The fused K-step program's cost_analysis counts its lax.scan BODY once
+  (verified on-chip: identical flops for K=4 and K=8), i.e. roughly TWO
+  updates under fused_metrics=last (quiet body + unrolled metrics body),
+  NOT K — dividing by K undercounted BENCH_r04's flops 8-32x. Returns
+  {'flops', 'bytes'} per update or None."""
+  import numpy as np
+  agent._create()
+  data = agent._filter_data(dict(data))
+  data.pop('key', None)
+  try:
+    carry, _ = agent._jit_train_initial(
+        agent.varibs, np.uint32(0), agent.config.batch_size)
+    lowered = agent._jit_train.lower(
+        agent.varibs, np.uint32(0), data, carry)
+    cost = lowered.compile().cost_analysis()
+  except Exception:
+    return None
+  if isinstance(cost, (list, tuple)):
+    cost = cost[0] if cost else None
+  if not cost or not cost.get('flops'):
+    return None
+  return {'flops': float(cost['flops']),
+          'bytes': float(cost.get('bytes accessed', 0.0))}
+
 
 def build_agent(task, overrides):
   import daydreamer_tpu as ddt
@@ -136,23 +174,33 @@ def measure_updates(agent, data, K, sample_budget_s, windows=60, calls=2):
       time.sleep(2.0)  # Congested window; give the backend air.
   updates_per_s = float(np.median(rates))
 
-  # MFU from XLA's own cost model: flops per dispatch / steps / wall /
-  # chip peak. The compiler's flop count is the work the program actually
-  # contains (post-fusion), so this is a conservative, honest utilization
-  # figure for the whole train step including scans and elementwise work.
+  # MFU and HBM-bandwidth utilization from XLA's own cost model for ONE
+  # update (the plain train program; see plain_train_cost for why the
+  # fused program's cost cannot be divided by K). The compiler's counts
+  # are the work the program actually contains post-fusion, so these are
+  # honest utilization figures for the whole train step.
   mfu = None
+  hbm = None
   flops_per_update = None
-  cost = agent.train_device_cost(replay, K, state)
-  peak = PEAK_BF16.get(jax.devices()[0].device_kind)
-  if cost and cost.get('flops') and peak:
-    flops_per_update = float(cost['flops']) / K
+  bytes_per_update = None
+  cost = plain_train_cost(agent, data)
+  kind = jax.devices()[0].device_kind
+  peak = PEAK_BF16.get(kind)
+  peak_bw = PEAK_HBM.get(kind)
+  if cost and peak:
+    flops_per_update = cost['flops']
+    bytes_per_update = cost['bytes']
     mfu = flops_per_update * updates_per_s / peak
+    if peak_bw and bytes_per_update:
+      hbm = bytes_per_update * updates_per_s / peak_bw
   return {
       'updates_per_s': round(updates_per_s, 3),
       'compile_time_s': round(compile_time, 1),
       'rate_windows': [round(r, 1) for r in rates],
       'flops_per_update': flops_per_update,
+      'bytes_per_update': bytes_per_update,
       'mfu': round(mfu, 4) if mfu is not None else None,
+      'hbm_bw_util': round(hbm, 4) if hbm is not None else None,
   }, state
 
 
@@ -270,8 +318,11 @@ def sweep(budget_s=45.0):
   for name, (task, overrides, batches) in SWEEP_SHAPES.items():
     rows = []
     for batch in batches:
-      K = max(2, min(64, 16384 // batch if name == 'xarm'
-                     else 65536 // batch))
+      # K shrinks with batch so dispatch stays ~1-2s and the program
+      # (K x batch unrolled buffers) stays within the compile helper's
+      # limits (batch 128+ with K=64 crashed the remote compiler).
+      K = max(2, min(64, 512 // batch if name == 'xarm'
+                     else 2048 // batch))
       agent, data = build_agent(task, {**overrides, 'batch_size': batch})
       try:
         res, _ = measure_updates(
