@@ -8,6 +8,7 @@ via an atomically-written checkpoint file.
 """
 
 import collections
+import concurrent.futures
 import time
 import warnings
 
@@ -58,6 +59,9 @@ def learning(agent, train_replay, eval_replay, logger, args):
   print('Start loop...')
   batch = None
   feed = None
+  publisher = concurrent.futures.ThreadPoolExecutor(
+      max_workers=1, thread_name_prefix='weight-publish')
+  publish = None
   fused = max(1, int(getattr(args, 'train_fused', 1)))
   # Device-resident replay: mirror episodes into TPU HBM once and let the
   # fused train program sample on-device — no per-update host->device
@@ -145,23 +149,39 @@ def learning(agent, train_replay, eval_replay, logger, args):
         logger.write(fps=True)
 
       if should_sync(step):
-        agent_cp.save()
-        learner_cp.save()
+        # Publish asynchronously: fetching the full agent state can take
+        # tens of seconds on a tunneled backend (measured 49.7s for a
+        # 30M-value a1 agent, ASYNC_SOAK.json), which would stall the
+        # train loop for multiples of the sync cadence. One in-flight
+        # publish at a time; a still-running one just skips this tick.
+        if publish is None or publish.done():
+          publish = publisher.submit(
+              lambda: (agent_cp.save(), learner_cp.save()))
+        else:
+          print('Skipping weight publish: previous one still in flight.')
 
       if should_eval(step):
-        print('Evaluation.')
-        if not dataset_eval:
-          print('Initializing eval replay...')
-          dataset_eval = iter(agent.dataset(eval_replay.dataset))
-        scalars = collections.defaultdict(list)
-        for _ in range(args.eval_samples):
-          for key, value in agent.report(next(dataset_eval)).items():
-            if np.asarray(value).shape == ():
-              scalars[key].append(value)
-        logger.add(
-            {k: np.mean(xs) for k, xs in scalars.items()}, prefix='eval')
-        logger.write()
+        if not len(eval_replay):
+          # No eval actor is feeding this learner (yet); blocking on an
+          # empty dataset would silently STOP training forever.
+          print('Skipping evaluation: eval replay is empty.')
+        else:
+          print('Evaluation.')
+          if not dataset_eval:
+            print('Initializing eval replay...')
+            dataset_eval = iter(agent.dataset(eval_replay.dataset))
+          scalars = collections.defaultdict(list)
+          for _ in range(args.eval_samples):
+            for key, value in agent.report(next(dataset_eval)).items():
+              if np.asarray(value).shape == ():
+                scalars[key].append(value)
+          logger.add(
+              {k: np.mean(xs) for k, xs in scalars.items()}, prefix='eval')
+          logger.write()
   finally:
+    if publish is not None:
+      publish.result()  # Surface publish errors; finish the last write.
+    publisher.shutdown(wait=True)
     # Join loader threads on the exception path too; leaked Prefetch
     # workers race with later in-process work.
     for loader in (dataset_train, dataset_eval):
