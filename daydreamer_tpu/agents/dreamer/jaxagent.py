@@ -714,6 +714,22 @@ class JAXAgent:
     print(f'Saving agent with {len(values)} tensors and {count} values.')
     return values
 
+  def save_policy(self):
+    """Snapshot of ONLY the entries the policy reads (captured at
+    creation) — the actor weight-sync payload. A fraction of the full
+    state (no optimizer moments, no critic/decoder heads), so publishing
+    it over a slow link fits a tight sync cadence where the full save
+    cannot (measured 49.7s for the full 30M-value a1 state on the
+    tunneled backend)."""
+    self._create()
+    subset = {k: self.varibs[k] for k in sorted(self._policy_read_log)
+              if k in self.varibs}
+    values = jax.device_get(subset)
+    count = int(sum(np.prod(x.shape) for x in values.values()))
+    print(f'Saving policy snapshot with {len(values)} tensors and '
+          f'{count} values.')
+    return values
+
   def load(self, values):
     self._create()
     existing = self.varibs
@@ -721,6 +737,10 @@ class JAXAgent:
     print(f'Loading agent with {len(values)} tensors and {count} values.')
     if set(values.keys()) == set(existing.keys()):
       loaded = {k: jnp.asarray(values[k]) for k in existing}
+    elif set(values.keys()) < set(existing.keys()):
+      # Partial (e.g. policy-only) snapshot: merge into the live state.
+      loaded = {k: (jnp.asarray(values[k]) if k in values else existing[k])
+                for k in existing}
     else:
       # Name-sorted zip load for wire-format parity with checkpoints that
       # used different module naming (reference: tfutils.py:116-131).

@@ -27,19 +27,27 @@ class WeightSubscriber:
   RETRIES = 10
 
   def __init__(self, agent, logdir, logger):
-    self._checkpoint = core.Checkpoint(core.Path(logdir) / 'agent.pkl')
-    self._checkpoint.agent = agent
+    # Learners that support policy-subset snapshots publish policy.pkl on
+    # the fast sync clock (the full agent.pkl goes on a 10x slower clock
+    # for crash-resume); the actor prefers the fast channel when present.
+    self._policy_cp = core.Checkpoint(core.Path(logdir) / 'policy.pkl')
+    self._policy_cp.agent = agent
+    self._full_cp = core.Checkpoint(core.Path(logdir) / 'agent.pkl')
+    self._full_cp.agent = agent
     self._logger = logger
+
+  def _pick(self):
+    return self._policy_cp if self._policy_cp.exists() else self._full_cp
 
   def refresh(self):
     print('Syncing.')
-    while not self._checkpoint.exists():
+    while not (self._policy_cp.exists() or self._full_cp.exists()):
       print('Waiting for agent checkpoint to be created.')
       time.sleep(10)
     last_error = None
     for _ in range(self.RETRIES):
       try:
-        age = self._checkpoint.load()
+        age = self._pick().load()
         if age is not None:
           self._logger.scalar('agent_cp_age', age)
         return

@@ -40,6 +40,21 @@ def learning(agent, train_replay, eval_replay, logger, args):
   agent_cp.agent = agent
   agent_cp.load_or_save()
 
+  # Fast actor weight-sync channel: only the policy-read parameter subset
+  # (if the agent supports it), published every sync tick; the full state
+  # (optimizer moments, critics) goes to agent.pkl on a 10x slower clock
+  # for learner crash-resume. Actors prefer policy.pkl when present.
+  policy_cp = None
+  if hasattr(agent, 'save_policy'):
+    class _PolicySnapshot:
+      def save(self):
+        return agent.save_policy()
+      def load(self, values):
+        agent.load(values)
+    policy_cp = core.Checkpoint(logdir / 'policy.pkl')
+    policy_cp.agent = _PolicySnapshot()
+  should_full_sync = whenlib.Clock(10 * args.sync_every)
+
   learner_cp = core.Checkpoint(logdir / 'learner.pkl')
   learner_cp.train_replay = train_replay
   learner_cp.step = step
@@ -154,9 +169,17 @@ def learning(agent, train_replay, eval_replay, logger, args):
         # 30M-value a1 agent, ASYNC_SOAK.json), which would stall the
         # train loop for multiples of the sync cadence. One in-flight
         # publish at a time; a still-running one just skips this tick.
+        # The per-tick payload is the policy-only snapshot; the full
+        # state publishes on the 10x slower clock.
         if publish is None or publish.done():
-          publish = publisher.submit(
-              lambda: (agent_cp.save(), learner_cp.save()))
+          full = policy_cp is None or should_full_sync(step)
+          def _publish(full=full):
+            if policy_cp is not None:
+              policy_cp.save()
+            if full:
+              agent_cp.save()
+              learner_cp.save()
+          publish = publisher.submit(_publish)
         else:
           print('Skipping weight publish: previous one still in flight.')
 

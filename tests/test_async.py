@@ -91,8 +91,10 @@ def test_actor_learner_pair(tmp_path):
   thread.join(timeout=600)
   assert not thread.is_alive(), 'learner did not finish'
   assert not errors, errors
-  # The learner published weights for the actor.
+  # The learner published weights for the actor: the full state for
+  # crash-resume AND the policy-only fast-sync snapshot.
   assert (tmp_path / 'agent.pkl').exists()
+  assert (tmp_path / 'policy.pkl').exists()
   # The actor can load them.
   actor_agent = Agent(
       actor_env.obs_space, actor_env.act_space, ddt.Counter(), config)
@@ -100,6 +102,11 @@ def test_actor_learner_pair(tmp_path):
   cp.agent = actor_agent
   age = cp.load()
   assert age >= 0
+  # The policy snapshot is a strict parameter subset that merges into
+  # the live state (the actor's per-sync payload).
+  pcp = ddt.Checkpoint(str(tmp_path / 'policy.pkl'), log=False)
+  pcp.agent = actor_agent
+  assert pcp.load() >= 0
   obs = {
       k: np.zeros((1,) + v.shape, v.dtype)
       for k, v in actor_env.obs_space.items()}
