@@ -49,9 +49,25 @@ class LazyMetrics(dict):
     self._fused = fused
     self._done = False
 
-  def _materialize(self):
+  @classmethod
+  def materialize_all(cls, mets_list):
+    """Fetch every pending packed array in ONE device_get.
+
+    Materializing a long list one-by-one costs a device round-trip per
+    entry (minutes per log flush on a high-latency tunneled backend);
+    fetching the batch as a single pytree lets the backend pipeline the
+    transfers."""
+    pending = [m for m in mets_list
+               if isinstance(m, cls) and not m._done]
+    if pending:
+      fetched = jax.device_get([m._packed for m in pending])
+      for m, values in zip(pending, fetched):
+        m._materialize(np.asarray(values))
+    return mets_list
+
+  def _materialize(self, values=None):
     if not self._done:
-      values = np.asarray(self._packed)
+      values = np.asarray(self._packed) if values is None else values
       if self._fused:  # Fused multi-step train: [steps, metrics].
         assert values.ndim == 2, values.shape
         merged = {}

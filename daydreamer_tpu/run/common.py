@@ -17,6 +17,20 @@ import numpy as np
 from .. import core
 
 
+def materialize_metrics(mets_list):
+  """Batch-fetch pending lazy metric dicts before aggregation.
+
+  Lazy metrics hold one packed device array each; reading a long list
+  one-by-one costs a device round-trip per entry (minutes per log flush
+  on a high-latency tunneled backend). Any metrics class exposing a
+  `materialize_all` classmethod gets the whole list in one fetch."""
+  for mets in mets_list:
+    batched = getattr(type(mets), 'materialize_all', None)
+    if batched is not None:
+      return batched(mets_list)
+  return mets_list
+
+
 class EpisodeReporter:
   """Per-episode score/length/video logging with zero-suppression."""
 
@@ -82,7 +96,10 @@ class UpdateLoop:
     self._replay = replay
     self._dataset = iter(agent.dataset(replay.dataset))
     self._state = None
-    self._pending = []  # Possibly-lazy metric dicts, drained at flush.
+    # Possibly-lazy metric dicts, drained at flush. Bounded: wall-clock
+    # log cadences can accumulate thousands of entries on a fast
+    # learner; the logged value is a window mean either way.
+    self._pending = collections.deque(maxlen=64)
     self.last_batch = None
     # Number of updates fused into one device dispatch, when supported.
     self._fused = max(1, int(getattr(args, 'train_fused', 1)))
@@ -133,6 +150,7 @@ class UpdateLoop:
     with warnings.catch_warnings():  # Empty windows produce nan slices.
       warnings.simplefilter('ignore', category=RuntimeWarning)
       merged = collections.defaultdict(list)
+      materialize_metrics(list(self._pending))
       for mets in self._pending:
         for name, value in mets.items():
           merged[name].append(value)

@@ -16,6 +16,7 @@ import numpy as np
 
 from .. import core
 from ..core import when as whenlib
+from .common import materialize_metrics
 
 
 def learning(agent, train_replay, eval_replay, logger, args):
@@ -69,7 +70,13 @@ def learning(agent, train_replay, eval_replay, logger, args):
 
   print('Initializing agent...')
   state = None
-  metrics = []  # Possibly-lazy metric dicts; materialized at log time.
+  # Possibly-lazy metric dicts, materialized (in one batched device
+  # fetch) at log time. Bounded: on a fast learner thousands of entries
+  # can accumulate between wall-clock log ticks, and fetching them all
+  # once took minutes on a high-latency backend (ASYNC_SOAK) — the
+  # logged value is a window mean either way, so the window is capped
+  # at the most recent 64 dispatches.
+  metrics = collections.deque(maxlen=64)
 
   print('Start loop...')
   batch = None
@@ -143,6 +150,7 @@ def learning(agent, train_replay, eval_replay, logger, args):
       if should_log(step):
         with warnings.catch_warnings():
           warnings.simplefilter('ignore', category=RuntimeWarning)
+          materialize_metrics(list(metrics))
           lists = collections.defaultdict(list)
           for mets in metrics:
             for name, value in mets.items():
