@@ -55,6 +55,11 @@ def learning(agent, train_replay, eval_replay, logger, args):
     policy_cp = core.Checkpoint(logdir / 'policy.pkl')
     policy_cp.agent = _PolicySnapshot()
   should_full_sync = whenlib.Clock(10 * args.sync_every)
+  # Clocks fire on their first call; the full state was just written by
+  # load_or_save, so consume the initial tick — otherwise the large
+  # full-state fetch lands at loop start and, on slow links, queues the
+  # first minutes of dispatches behind it.
+  should_full_sync(step)
 
   learner_cp = core.Checkpoint(logdir / 'learner.pkl')
   learner_cp.train_replay = train_replay
