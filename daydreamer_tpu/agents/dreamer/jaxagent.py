@@ -65,6 +65,22 @@ class LazyMetrics(dict):
         m._materialize(np.asarray(values))
     return mets_list
 
+  def ensure_done(self):
+    """Block until this dispatch has EXECUTED, via a one-element fetch.
+
+    Used as loop backpressure: an async-dispatch loop can otherwise
+    enqueue unboundedly far ahead of the device, making every later
+    fetch (log flush, weight publish) wait behind minutes of backlog.
+    A tiny device_get is used instead of block_until_ready because the
+    latter returns before execution completes on the tunneled axon
+    backend (see FUSED_DISPATCH_ANOMALY.json)."""
+    if self._done or getattr(self, '_synced', False):
+      return
+    if self._packed is not None:
+      index = (0,) * getattr(self._packed, 'ndim', 1)
+      np.asarray(self._packed[index])
+    self._synced = True
+
   def _materialize(self, values=None):
     if not self._done:
       values = np.asarray(self._packed) if values is None else values

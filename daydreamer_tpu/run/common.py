@@ -17,6 +17,23 @@ import numpy as np
 from .. import core
 
 
+def limit_inflight(mets_seq, max_inflight=3):
+  """Backpressure for async-dispatch train loops.
+
+  Dispatch is asynchronous: a loop that only enqueues can run thousands
+  of updates ahead of the device, and then every later device fetch
+  (log flush, weight publish) waits behind the whole backlog — measured
+  as 250s log gaps and minutes-stale published weights in ASYNC_SOAK.
+  Force completion of all but the newest `max_inflight` dispatches via
+  their metrics handles (a one-element fetch each)."""
+  pending = [m for m in mets_seq
+             if getattr(m, '_done', True) is False
+             and not getattr(m, '_synced', False)]
+  cut = len(pending) - max_inflight
+  for mets in pending[:max(cut, 0)]:
+    mets.ensure_done()
+
+
 def materialize_metrics(mets_list):
   """Batch-fetch pending lazy metric dicts before aggregation.
 
@@ -125,6 +142,7 @@ class UpdateLoop:
     outs, self._state, mets = self._agent.train(
         self.last_batch, self._state)
     self._pending.append(mets)
+    limit_inflight(self._pending)
     if 'priority' in outs:
       self._replay.prioritize(outs['key'], outs['priority'])
 
@@ -133,6 +151,7 @@ class UpdateLoop:
     self.last_batch = batches[-1]
     outs, self._state, mets = self._agent.train_multi(batches, self._state)
     self._pending.append(mets)
+    limit_inflight(self._pending)
     if 'priority' in outs:
       for lane in range(self._fused):
         self._replay.prioritize(outs['key'][lane], outs['priority'][lane])

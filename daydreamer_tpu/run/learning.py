@@ -16,7 +16,7 @@ import numpy as np
 
 from .. import core
 from ..core import when as whenlib
-from .common import materialize_metrics
+from .common import limit_inflight, materialize_metrics
 
 
 def learning(agent, train_replay, eval_replay, logger, args):
@@ -129,6 +129,7 @@ def learning(agent, train_replay, eval_replay, logger, args):
         # jitted dispatch; no training data crosses the host->device link.
         outs, state, mets = agent.train_device(device_replay, fused, state)
         metrics.append(mets)
+        limit_inflight(metrics)
         step.increment(fused)
       elif fused > 1:
         # Fused path: K gradient updates per device dispatch (the learner
@@ -140,6 +141,7 @@ def learning(agent, train_replay, eval_replay, logger, args):
         group = next(feed)
         outs, state, mets = agent.train_multi(group, state)
         metrics.append(mets)
+        limit_inflight(metrics)
         if 'priority' in outs:
           for i in range(fused):
             train_replay.prioritize(outs['key'][i], outs['priority'][i])
@@ -148,6 +150,7 @@ def learning(agent, train_replay, eval_replay, logger, args):
         batch = next(dataset_train)
         outs, state, mets = agent.train(batch, state)
         metrics.append(mets)
+        limit_inflight(metrics)
         if 'priority' in outs:
           train_replay.prioritize(outs['key'], outs['priority'])
         step.increment()
